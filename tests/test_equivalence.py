@@ -1,0 +1,149 @@
+"""Differential tests: jit/XLA simulator vs the NumPy oracle.
+
+The analog of the reference's primary validation suite
+tests/test_gpu_cpu_equivalence.cu (GPU vs CPU oracle, elementwise 1e-12):
+every gate x every target qubit, two-qubit gates over all ordered pairs,
+GHZ sweeps, random circuits, deep circuits, rotation angle sweeps, and
+fused-vs-unfused agreement (the optimized-vs-standard analog)."""
+
+import numpy as np
+import pytest
+
+from tpu_qsim import (
+    Circuit,
+    CPUReferenceSimulator,
+    SimConfig,
+    StateVectorSimulator,
+    ghz_circuit,
+    random_circuit,
+)
+
+from conftest import random_state
+
+CFG128 = SimConfig(dtype="complex128", use_pallas=False)
+
+
+def both(circuit, psi0=None, config=CFG128):
+    jit_sim = StateVectorSimulator(circuit.num_qubits, config)
+    ora_sim = CPUReferenceSimulator(circuit.num_qubits)
+    if psi0 is not None:
+        jit_sim.set_state(psi0)
+        ora_sim.set_state(psi0)
+    jit_sim.run(circuit)
+    ora_sim.run(circuit)
+    return jit_sim.get_state(), ora_sim.get_state()
+
+
+SINGLE_GATES = [
+    ("x", None), ("y", None), ("z", None), ("h", None), ("s", None),
+    ("sdg", None), ("t", None), ("tdg", None), ("rx", 0.731), ("ry", 1.42),
+    ("rz", 2.2), ("p", 0.3),
+]
+
+
+class TestEveryGateEveryQubit:
+    @pytest.mark.parametrize("name,param", SINGLE_GATES)
+    def test_single_qubit_gates(self, name, param, rng):
+        n = 5
+        psi0 = random_state(n, rng)
+        for q in range(n):
+            c = Circuit(n).add(name, q, param=param)
+            a, b = both(c, psi0)
+            np.testing.assert_allclose(a, b, atol=1e-12)
+
+    @pytest.mark.parametrize("name,param",
+                             [("cnot", None), ("cz", None), ("swap", None),
+                              ("cry", 0.9), ("crz", 1.7)])
+    def test_two_qubit_gates_all_pairs(self, name, param, rng):
+        n = 4
+        psi0 = random_state(n, rng)
+        for a_q in range(n):
+            for b_q in range(n):
+                if a_q == b_q:
+                    continue
+                c = Circuit(n).add(name, a_q, b_q, param=param)
+                a, b = both(c, psi0)
+                np.testing.assert_allclose(a, b, atol=1e-12)
+
+    def test_toffoli_all_triples(self, rng):
+        n = 4
+        psi0 = random_state(n, rng)
+        import itertools
+
+        for trip in itertools.permutations(range(n), 3):
+            c = Circuit(n).toffoli(*trip)
+            a, b = both(c, psi0)
+            np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+class TestCircuits:
+    @pytest.mark.parametrize("n", range(2, 9))
+    def test_ghz(self, n):
+        a, b = both(ghz_circuit(n))
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+    @pytest.mark.parametrize("seed", range(15))
+    def test_random_circuits(self, seed):
+        c = random_circuit(5, 60, seed=seed)
+        a, b = both(c)
+        np.testing.assert_allclose(a, b, atol=1e-11)
+
+    def test_deep_circuit(self):
+        c = random_circuit(4, 500, seed=99)
+        a, b = both(c)
+        np.testing.assert_allclose(a, b, atol=1e-10)
+
+    @pytest.mark.parametrize("k", range(8))
+    def test_rotation_angle_sweep(self, k, rng):
+        theta = -2 * np.pi + k * (4 * np.pi / 7)
+        n = 3
+        psi0 = random_state(n, rng)
+        c = Circuit(n).rx(0, theta).ry(1, theta).rz(2, theta).crz(0, 2, theta)
+        a, b = both(c, psi0)
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+class TestFusionEquivalence:
+    """Fused vs unfused XLA paths (analog of reference
+    tests/test_optimized_gates.cu standard-vs-optimized)."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_fused_matches_unfused(self, seed, rng):
+        n = 6
+        c = random_circuit(n, 80, seed=seed)
+        psi0 = random_state(n, rng)
+        fused, _ = both(c, psi0, CFG128)
+        unfused, _ = both(c, psi0, CFG128.replace(fuse=False))
+        np.testing.assert_allclose(fused, unfused, atol=1e-11)
+
+    @pytest.mark.parametrize("max_k", [1, 2, 3, 4, 6])
+    def test_fusion_width_sweep(self, max_k, rng):
+        n = 6
+        c = random_circuit(n, 60, seed=5)
+        psi0 = random_state(n, rng)
+        a, ora = both(c, psi0, CFG128.replace(max_fused_qubits=max_k))
+        np.testing.assert_allclose(a, ora, atol=1e-11)
+
+    def test_fusion_with_all_gate_types(self, rng):
+        n = 5
+        c = (Circuit(n).h(0).t(1).cnot(0, 1).rz(2, 0.4).toffoli(0, 1, 2)
+             .swap(2, 3).cry(3, 4, 1.2).sdg(4).y(3).crz(4, 0, 0.9).z(2)
+             .cz(1, 3).rx(0, 2.2).ry(1, 0.1).x(2).tdg(3).p(4, 0.5))
+        psi0 = random_state(n, rng)
+        a, b = both(c, psi0)
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+class TestComplex64Path:
+    """The TPU production dtype: looser tolerance, same physics."""
+
+    def test_random_circuit_c64(self):
+        c = random_circuit(6, 100, seed=1)
+        cfg = SimConfig(dtype="complex64", use_pallas=False)
+        a, b = both(c, config=cfg)
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+    def test_ghz_c64(self):
+        cfg = SimConfig(dtype="complex64", use_pallas=False)
+        a, b = both(ghz_circuit(10), config=cfg)
+        np.testing.assert_allclose(a, b, atol=1e-6)

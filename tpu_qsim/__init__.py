@@ -1,0 +1,50 @@
+"""tpu_qsim — a TPU-native quantum circuit simulation framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference CUDA
+state-vector simulator (rylanmalarchick/cuda-quantum-simulator): exact pure
+state simulation, Monte-Carlo wavefunction noise, batched trajectories,
+exact density-matrix simulation with Kraus channels, measurement/sampling —
+designed TPU-first (one fused XLA program per circuit, MXU contractions,
+Pallas VMEM-resident kernels, shard_map multi-chip scaling) rather than as a
+kernel-for-kernel translation.
+"""
+
+from .circuit import Circuit, Gate, bell_circuit, ghz_circuit, random_circuit
+from .config import DEFAULT_CONFIG, SimConfig
+from .cpu_reference import CPUReferenceSimulator
+from .statevector import StateVectorSimulator
+
+__all__ = [
+    "Circuit",
+    "Gate",
+    "bell_circuit",
+    "ghz_circuit",
+    "random_circuit",
+    "SimConfig",
+    "DEFAULT_CONFIG",
+    "CPUReferenceSimulator",
+    "StateVectorSimulator",
+]
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    # Lazy imports for the heavier stacks so `import tpu_qsim` stays cheap.
+    if name in ("NoiseModel", "NoiseChannel", "NoiseType"):
+        from . import noise
+
+        return getattr(noise, name)
+    if name in ("NoisySimulator", "BatchedSimulator"):
+        from . import noisy
+
+        return getattr(noisy, name)
+    if name in ("DensityMatrixSimulator",):
+        from . import density
+
+        return getattr(density, name)
+    if name in ("ShardedStateVectorSimulator",):
+        from . import parallel
+
+        return getattr(parallel, name)
+    raise AttributeError(f"module 'tpu_qsim' has no attribute '{name}'")
