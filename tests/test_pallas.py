@@ -1,0 +1,126 @@
+"""Pallas kernel tests (interpret mode on CPU): the whole-circuit
+VMEM-resident kernel must agree elementwise with the XLA engine and the
+NumPy oracle — the analog of the reference's optimized-vs-standard kernel
+suite (tests/test_optimized_gates.cu), run per gate type, per qubit
+position (lane bits, row bits, mixed), and on random circuits."""
+
+import numpy as np
+import pytest
+
+from tpu_qsim import Circuit, CPUReferenceSimulator, SimConfig, StateVectorSimulator
+from tpu_qsim import ghz_circuit, random_circuit
+from tpu_qsim.kernels.fused_circuit import build_pallas_run
+
+from conftest import random_state
+
+N = 10  # 3 row bits + 7 lane bits
+XLA_CFG = SimConfig(dtype="complex64", use_pallas=False)
+
+
+def pallas_apply(circuit, psi0=None):
+    import tpu_qsim.apply as ap
+
+    fn = build_pallas_run(circuit, np.float32, interpret=True)
+    if psi0 is None:
+        state = ap.initial_state(circuit.num_qubits, np.float32)
+    else:
+        state = ap.from_complex(psi0, np.float32)
+    return ap.to_complex(fn(state))
+
+
+def xla_apply(circuit, psi0=None):
+    sim = StateVectorSimulator(circuit.num_qubits, XLA_CFG)
+    if psi0 is not None:
+        sim.set_state(psi0)
+    sim.run(circuit)
+    return sim.get_state()
+
+
+SINGLE_GATES = [
+    ("x", None), ("y", None), ("z", None), ("h", None), ("s", None),
+    ("sdg", None), ("t", None), ("tdg", None), ("rx", 0.731), ("ry", 1.42),
+    ("rz", 2.2), ("p", 0.3),
+]
+
+
+class TestPallasSingleGates:
+    @pytest.mark.parametrize("name,param", SINGLE_GATES)
+    @pytest.mark.parametrize("q", [0, 3, 6, 7, 8, 9])  # lane + row bits
+    def test_gate_every_region(self, name, param, q, rng):
+        psi0 = random_state(N, rng).astype(np.complex64)
+        c = Circuit(N).add(name, q, param=param)
+        np.testing.assert_allclose(
+            pallas_apply(c, psi0), xla_apply(c, psi0), atol=2e-6
+        )
+
+
+class TestPallasMultiQubitGates:
+    PAIRS = [(0, 1), (5, 6), (0, 9), (7, 8), (9, 2), (6, 7)]  # ll, lr, rr mixes
+
+    @pytest.mark.parametrize("name,param",
+                             [("cnot", None), ("cz", None), ("swap", None),
+                              ("cry", 0.9), ("crz", 1.7)])
+    @pytest.mark.parametrize("pair", PAIRS)
+    def test_two_qubit(self, name, param, pair, rng):
+        psi0 = random_state(N, rng).astype(np.complex64)
+        c = Circuit(N).add(name, *pair, param=param)
+        np.testing.assert_allclose(
+            pallas_apply(c, psi0), xla_apply(c, psi0), atol=2e-6
+        )
+
+    @pytest.mark.parametrize("trip", [(0, 1, 2), (7, 8, 9), (0, 7, 3), (9, 1, 8)])
+    def test_toffoli(self, trip, rng):
+        psi0 = random_state(N, rng).astype(np.complex64)
+        c = Circuit(N).toffoli(*trip)
+        np.testing.assert_allclose(
+            pallas_apply(c, psi0), xla_apply(c, psi0), atol=2e-6
+        )
+
+
+class TestPallasCircuits:
+    def test_ghz(self):
+        c = ghz_circuit(N)
+        out = pallas_apply(c)
+        expected = np.zeros(1 << N, dtype=complex)
+        expected[0] = expected[-1] = 1 / np.sqrt(2)
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_circuits_vs_oracle(self, seed):
+        c = random_circuit(N, 60, seed=seed)
+        ora = CPUReferenceSimulator(N)
+        ora.run(c)
+        np.testing.assert_allclose(pallas_apply(c), ora.get_state(), atol=5e-5)
+
+    def test_all_gate_types_mixed(self, rng):
+        psi0 = random_state(N, rng).astype(np.complex64)
+        c = (Circuit(N).h(0).t(8).cnot(3, 9).rz(7, 0.4).toffoli(0, 8, 4)
+             .swap(2, 9).cry(9, 1, 1.2).sdg(5).y(6).crz(4, 0, 0.9).z(7)
+             .cz(1, 8).rx(0, 2.2).ry(9, 0.1).x(2).tdg(3).p(6, 0.5))
+        np.testing.assert_allclose(
+            pallas_apply(c, psi0), xla_apply(c, psi0), atol=5e-6
+        )
+
+
+class TestDispatchIntegration:
+    def test_simulator_uses_pallas_when_configured(self):
+        cfg = SimConfig(dtype="complex64", use_pallas=True, pallas_interpret=True)
+        sim = StateVectorSimulator(N, cfg)
+        sim.run(ghz_circuit(N))
+        p = sim.get_probabilities()
+        assert p[0] == pytest.approx(0.5, abs=1e-6)
+        assert p[-1] == pytest.approx(0.5, abs=1e-6)
+
+    def test_out_of_range_sizes_fall_back(self):
+        # n below the Pallas window must silently use the XLA engine
+        cfg = SimConfig(dtype="complex64", use_pallas=True, pallas_interpret=True)
+        sim = StateVectorSimulator(4, cfg)
+        sim.run(ghz_circuit(4))
+        p = sim.get_probabilities()
+        assert p[0] == pytest.approx(0.5, abs=1e-6)
+
+    def test_c128_falls_back(self):
+        cfg = SimConfig(dtype="complex128", use_pallas=True, pallas_interpret=True)
+        sim = StateVectorSimulator(N, cfg)
+        sim.run(ghz_circuit(N))
+        assert sim.get_probabilities()[0] == pytest.approx(0.5, abs=1e-12)

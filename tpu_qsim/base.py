@@ -1,0 +1,195 @@
+"""Shared simulator base: state container + readout/measurement surface.
+
+Provides the uniform API that every reference simulator facade exposed
+(``run/getProbabilities/sample/measureQubit/reset``; reference
+include/Simulator.hpp:55-112, include/NoiseModel.cuh:139-297) on top of the
+flat planes state representation of :mod:`tpu_qsim.apply`. Subclasses own
+circuit execution; this class owns everything downstream of the state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import apply as ap
+from .config import DEFAULT_CONFIG, SimConfig
+
+
+class BaseSimulator:
+    """State container + seeded readout/measurement, shared by all backends."""
+
+    def __init__(
+        self,
+        num_qubits: int,
+        config: SimConfig = DEFAULT_CONFIG,
+        *,
+        seed: int = 0,
+    ):
+        if num_qubits < 1:
+            raise ValueError("num_qubits must be >= 1")
+        self.num_qubits = int(num_qubits)
+        self.dim = 1 << self.num_qubits
+        self.config = config
+        self._rdtype = config.real_dtype
+        self._key = jax.random.PRNGKey(seed)
+        self._state = ap.initial_state(self.num_qubits, self._rdtype)
+
+    # -- key chain ----------------------------------------------------------
+
+    def set_seed(self, seed: int) -> None:
+        """Re-seed the simulator's RNG chain (analog of NoisySimulator::
+        setSeed, reference src/NoiseModel.cu:351-354 — but here it is the
+        *only* RNG; nothing is unseeded)."""
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self, key: jax.Array | None) -> jax.Array:
+        if key is not None:
+            return key
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- state management ---------------------------------------------------
+
+    def reset(self, basis_index: int = 0) -> None:
+        if not (0 <= basis_index < self.dim):
+            raise ValueError(f"basis index {basis_index} out of range")
+        self._state = ap.initial_state(self.num_qubits, self._rdtype, basis_index)
+
+    @property
+    def state_planes(self) -> jax.Array:
+        """Device-resident (2, 2^n) [real, imag] amplitude planes."""
+        return self._state
+
+    def get_state(self) -> np.ndarray:
+        """Device -> host complex amplitudes (analog of StateVector::toHost,
+        reference src/StateVector.cu:204-215)."""
+        return ap.to_complex(self._state)
+
+    def set_state(self, amplitudes: Any) -> None:
+        amplitudes = np.asarray(amplitudes)
+        if amplitudes.shape != (self.dim,):
+            raise ValueError(f"state must have shape ({self.dim},)")
+        self._state = ap.from_complex(amplitudes, self._rdtype)
+
+    # -- readout ------------------------------------------------------------
+
+    def probabilities(self) -> jax.Array:
+        return _probs_jit(self._state)
+
+    def get_probabilities(self) -> np.ndarray:
+        return np.asarray(self.probabilities())
+
+    def total_probability(self) -> float:
+        return float(_total_prob_jit(self._state))
+
+    def is_normalized(self, atol: float = 1e-4) -> bool:
+        return abs(self.total_probability() - 1.0) < atol
+
+    def assert_normalized(self, atol: float = 1e-4) -> None:
+        tp = self.total_probability()
+        if abs(tp - 1.0) >= atol:
+            raise RuntimeError(f"state not normalized: total probability {tp}")
+
+    def qubit_probability(self, qubit: int) -> float:
+        """P(qubit = 1)."""
+        self._check_qubit(qubit)
+        return float(_marginal_jit(self._state, qubit))
+
+    # -- sampling / measurement --------------------------------------------
+
+    def sample(self, shots: int, key: jax.Array | None = None) -> jax.Array:
+        """Multishot sampling without collapse — on-device categorical over
+        basis states (replaces the reference's host CDF walk,
+        src/StateVector.cu:316-342). Returns int32 basis indices [shots]."""
+        if shots < 1:
+            raise ValueError("shots must be >= 1")
+        key = self._next_key(key)
+        return sample_from_state(self._state, key, shots)
+
+    def histogram(self, shots: int, key: jax.Array | None = None) -> dict[int, int]:
+        samples = np.asarray(self.sample(shots, key))
+        return counts_to_histogram(samples, self.dim)
+
+    def measure_qubit(self, qubit: int, key: jax.Array | None = None) -> int:
+        """Measure one qubit; collapse the state; return 0 or 1.
+
+        One fused jit program: marginal -> bernoulli -> masked renormalize
+        (the reference needed a kernel + full D2H + host loop + kernel,
+        src/StateVector.cu:260-314)."""
+        self._check_qubit(qubit)
+        key = self._next_key(key)
+        outcome, self._state = measure_and_collapse(self._state, key, qubit)
+        return int(outcome)
+
+    # -- misc ---------------------------------------------------------------
+
+    def _check_qubit(self, qubit: int) -> None:
+        if not (0 <= qubit < self.num_qubits):
+            raise ValueError(f"qubit index {qubit} out of range")
+
+    def block_until_ready(self):
+        jax.block_until_ready(self._state)
+        return self
+
+    def sync(self) -> float:
+        """Force execution to completion (scalar readback — the tunnel-proof
+        synchronization point; ``block_until_ready`` alone may not drain
+        remote TPU queues). Returns the total probability."""
+        return float(_total_prob_jit(self._state))
+
+
+def counts_to_histogram(samples: np.ndarray, dim: int) -> dict[int, int]:
+    """Sample indices -> {index: count}; uses the native C++ single-pass
+    counter when built, NumPy otherwise."""
+    from . import native
+
+    counts = native.histogram_native(samples, dim) if native.available() else None
+    if counts is None:
+        vals, cnts = np.unique(samples, return_counts=True)
+        return {int(v): int(c) for v, c in zip(vals, cnts)}
+    nz = np.nonzero(counts)[0]
+    return {int(v): int(counts[v]) for v in nz}
+
+
+# ---------------------------------------------------------------------------
+# Shared jitted helpers (cached by jax on (shape, static args))
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _probs_jit(state: jax.Array) -> jax.Array:
+    return ap.probabilities(state)
+
+
+@jax.jit
+def _total_prob_jit(state: jax.Array) -> jax.Array:
+    return ap.total_probability(state)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _marginal_jit(state: jax.Array, qubit: int) -> jax.Array:
+    return ap.qubit_marginal(state, qubit)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def sample_from_state(state: jax.Array, key: jax.Array, shots: int) -> jax.Array:
+    p = ap.probabilities(state)
+    logp = jnp.log(jnp.maximum(p, jnp.finfo(p.dtype).tiny))
+    return jax.random.categorical(key, logp, shape=(shots,)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def measure_and_collapse(
+    state: jax.Array, key: jax.Array, qubit: int
+) -> tuple[jax.Array, jax.Array]:
+    p1 = ap.qubit_marginal(state, qubit)
+    outcome = jax.random.bernoulli(key, jnp.clip(p1, 0.0, 1.0))
+    p_outcome = jnp.where(outcome, p1, 1.0 - p1)
+    new_state = ap.collapse(state, qubit, outcome, p_outcome)
+    return outcome.astype(jnp.int32), new_state

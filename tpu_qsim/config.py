@@ -41,6 +41,7 @@ class SimConfig:
     fuse: bool = True
     max_fused_qubits: int = 5
     use_pallas: bool = True
+    pallas_interpret: bool = False  # run Pallas kernels interpreted (tests/CPU)
     donate_state: bool = True
 
     @property

@@ -94,8 +94,20 @@ def plan_groups(circuit: Circuit, max_fused_qubits: int = 5) -> list[list[int]]:
     Scheduling invariant: for any two gates sharing a qubit, their group
     order (and in-group order) preserves program order; gates in different
     groups with disjoint support may be reordered freely (they commute).
+
+    Dispatches to the native C++ planner (tpu_qsim/native/fusion.cpp) when
+    the shared library is built; the Python path below is the reference
+    implementation and fallback. Both produce identical plans.
     """
     gates = circuit.gates
+    from . import native
+
+    if native.available():
+        planned = native.plan_groups_native(
+            circuit.num_qubits, [g.qubits for g in gates], max_fused_qubits
+        )
+        if planned is not None:
+            return planned
     groups: list[_OpenGroup] = []
     members: list[list[int]] = []
     # index of the latest group touching each qubit, -1 if none

@@ -1,0 +1,65 @@
+"""Auto-dispatch between the Pallas kernel tier and the XLA engine.
+
+The analog of the reference's shared-memory-vs-coalesced dispatcher
+(reference src/OptimizedGates.cu:388-413): pick the hand-tuned kernel when
+its preconditions hold, fall back to the always-correct general path
+otherwise. Preconditions for the VMEM-resident whole-circuit kernel:
+
+* float32 state (the TPU-native dtype),
+* enough qubits that rows exist (n >= 10) and few enough that the state
+  fits in VMEM with headroom (n <= 20),
+* running on a real TPU backend (or interpret=True for tests).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+import jax
+
+from ..circuit import Circuit
+from ..config import SimConfig
+from .fused_circuit import (
+    MAX_PALLAS_QUBITS,
+    MIN_PALLAS_QUBITS,
+    build_pallas_run,
+)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def pallas_supported(num_qubits: int, rdtype, config: SimConfig) -> bool:
+    return (
+        config.use_pallas
+        and np.dtype(rdtype) == np.float32
+        and MIN_PALLAS_QUBITS <= num_qubits <= MAX_PALLAS_QUBITS
+        and (_on_tpu() or config_interpret(config))
+    )
+
+
+def config_interpret(config: SimConfig) -> bool:
+    return bool(getattr(config, "pallas_interpret", False))
+
+
+def maybe_build_pallas_circuit_run(
+    circuit: Circuit, rdtype, config: SimConfig
+) -> Callable | None:
+    """Build the whole-circuit Pallas kernel if preconditions hold."""
+    if not pallas_supported(circuit.num_qubits, rdtype, config):
+        return None
+    return build_pallas_run(
+        circuit, np.float32, interpret=config_interpret(config)
+    )
+
+
+def maybe_build_pallas_run(groups, num_qubits, rdtype, config) -> Callable | None:
+    """Legacy group-based hook (kept for the sharded backend's call site);
+    the circuit-level entry above is preferred."""
+    return None

@@ -1,0 +1,323 @@
+"""Monte-Carlo wavefunction (trajectory) simulation.
+
+``NoisySimulator`` is the analog of the reference's curand-based Monte-Carlo
+simulator (reference include/NoiseModel.cuh:139-214) and ``BatchedSimulator``
+of its batched-trajectory variant (include/NoiseModel.cuh:231-297) — with two
+deliberate upgrades over the reference:
+
+1. **Textbook MCWF unraveling.** One Kraus branch is drawn per channel
+   application per trajectory and applied to the whole state (with Born-rule
+   branch probabilities for non-unitary Kraus sets). The reference instead
+   flipped an independent coin per amplitude *pair* inside one trajectory
+   (src/NoiseModel.cu:185-218; SURVEY quirk #3), which is not a valid
+   unraveling of the channel.
+2. **Full coverage by construction.** The batched path is ``jax.vmap`` of the
+   single-trajectory step over a key axis, so every gate and every channel
+   works batched — the reference's hand-written batched kernels covered only
+   X/Y/Z/H, CNOT and depolarizing (src/NoiseModel.cu:742-892; SURVEY quirk
+   #4), and its "global" channels were dead code (quirk #2).
+
+Noise insertion points follow the reference's NoisySimulator semantics: after
+every gate, every registered channel fires once per qubit it covers
+(src/NoiseModel.cu:369-382, 573-577). Gates are therefore applied unfused
+(fusing across an insertion point would change the physics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import apply as ap
+from .base import BaseSimulator, sample_from_state
+from .circuit import Circuit
+from .config import DEFAULT_CONFIG, SimConfig
+from .fusion import unfused_circuit
+from .noise import (
+    NoiseModel,
+    NoiseType,
+    UNITARY_MIX_TYPES,
+    kraus_operators,
+    unitary_mix,
+)
+
+
+# ---------------------------------------------------------------------------
+# Channel application inside jit
+# ---------------------------------------------------------------------------
+
+def _apply_unitary_mix(
+    state: jax.Array,
+    key: jax.Array,
+    probs: np.ndarray,
+    urs: np.ndarray,
+    uis: np.ndarray | None,
+    qubit: int,
+) -> jax.Array:
+    """Pauli-type channel: draw a branch (state-independent probs), apply the
+    selected 2x2 unitary. One gate application regardless of branch count —
+    the branch matrices are blended with a one-hot instead of lax.switch so
+    the compiled program stays a single contraction."""
+    b = probs.shape[0]
+    logp = np.log(np.maximum(probs, 1e-30)).astype(np.float32)
+    idx = jax.random.categorical(key, jnp.asarray(logp))
+    onehot = jax.nn.one_hot(idx, b, dtype=state.dtype)
+    mr = jnp.tensordot(onehot, jnp.asarray(urs), axes=(0, 0))
+    if uis is None:
+        return ap.apply_unitary(state, mr, None, (qubit,))
+    mi = jnp.tensordot(onehot, jnp.asarray(uis), axes=(0, 0))
+    return ap.apply_unitary(state, mr, mi, (qubit,))
+
+
+def _apply_general_kraus(
+    state: jax.Array,
+    key: jax.Array,
+    kraus: list[tuple[np.ndarray, np.ndarray | None]],
+    qubit: int,
+) -> jax.Array:
+    """General channel (damping): compute every Kraus branch, draw one with
+    Born probability ||K_b psi||^2, renormalize. B branch applications."""
+    branches = [ap.apply_unitary(state, kr, ki, (qubit,)) for kr, ki in kraus]
+    stacked = jnp.stack(branches)                      # [B, 2, dim]
+    norms = jnp.sum(stacked * stacked, axis=(1, 2))    # [B]
+    logp = jnp.log(jnp.maximum(norms, jnp.finfo(state.dtype).tiny))
+    idx = jax.random.categorical(key, logp)
+    onehot = jax.nn.one_hot(idx, stacked.shape[0], dtype=state.dtype)
+    picked = jnp.tensordot(onehot, stacked, axes=(0, 0))
+    norm = jnp.maximum(jnp.sum(onehot * norms), jnp.finfo(state.dtype).tiny)
+    return picked * jax.lax.rsqrt(norm).astype(state.dtype)
+
+
+def build_trajectory_step(
+    circuit: Circuit,
+    noise_model: NoiseModel | None,
+    rdtype: np.dtype,
+) -> tuple[Callable[[jax.Array, jax.Array], jax.Array], int]:
+    """Build the pure (state, key) -> state single-trajectory function.
+
+    Returns (step_fn, num_random_draws). The function is vmap/jit friendly;
+    gate matrices and channel tables are baked in as NumPy constants.
+    """
+    gate_consts = []
+    for g in unfused_circuit(circuit):
+        ur, ui = ap.split_matrix(g.diag if g.diagonal else g.matrix, rdtype)
+        gate_consts.append((g.qubits, g.diagonal, ur, ui))
+
+    noise_apps: list[tuple[Any, ...]] = []
+    if noise_model is not None and noise_model.has_noise():
+        for ntype, q, p in noise_model.applications_per_gate(circuit.num_qubits):
+            if p == 0.0:
+                continue
+            if ntype in UNITARY_MIX_TYPES:
+                probs, us = unitary_mix(ntype, p)
+                urs = us.real.astype(rdtype)
+                uis = us.imag.astype(rdtype) if np.any(us.imag != 0) else None
+                noise_apps.append(("mix", q, probs, urs, uis))
+            else:
+                kraus = [
+                    ap.split_matrix(k, rdtype) for k in kraus_operators(ntype, p)
+                ]
+                noise_apps.append(("kraus", q, kraus))
+
+    n_draws = len(gate_consts) * len(noise_apps)
+
+    def step(state: jax.Array, key: jax.Array) -> jax.Array:
+        keys = jax.random.split(key, n_draws) if n_draws else None
+        ki = 0
+        for qubits, diagonal, ur, ui in gate_consts:
+            if diagonal:
+                state = ap.apply_diagonal(state, ur, ui, qubits)
+            else:
+                state = ap.apply_unitary(state, ur, ui, qubits)
+            for app in noise_apps:
+                if app[0] == "mix":
+                    _, q, probs, urs, uis = app
+                    state = _apply_unitary_mix(state, keys[ki], probs, urs, uis, q)
+                else:
+                    _, q, kraus = app
+                    state = _apply_general_kraus(state, keys[ki], kraus, q)
+                ki += 1
+        return state
+
+    return step, n_draws
+
+
+class NoisySimulator(BaseSimulator):
+    """Single-trajectory Monte-Carlo wavefunction simulator (analog of
+    reference ``NoisySimulator``, include/NoiseModel.cuh:139-214)."""
+
+    def __init__(
+        self,
+        num_qubits: int,
+        noise_model: NoiseModel | None = None,
+        config: SimConfig = DEFAULT_CONFIG,
+        *,
+        seed: int = 0,
+    ):
+        super().__init__(num_qubits, config, seed=seed)
+        self.noise_model = noise_model if noise_model is not None else NoiseModel()
+        self._run_cache: dict[Any, Callable] = {}
+
+    def _compiled_run(self, circuit: Circuit) -> Callable:
+        key = (circuit.signature(), self.noise_model.signature())
+        fn = self._run_cache.get(key)
+        if fn is None:
+            step, _ = build_trajectory_step(circuit, self.noise_model, self._rdtype)
+            fn = jax.jit(step, donate_argnums=(0,) if self.config.donate_state else ())
+            self._run_cache[key] = fn
+        return fn
+
+    def run(self, circuit: Circuit, key: jax.Array | None = None) -> "NoisySimulator":
+        """Run one stochastic trajectory (reference src/NoiseModel.cu:369-382)."""
+        if circuit.num_qubits != self.num_qubits:
+            raise ValueError(
+                f"circuit has {circuit.num_qubits} qubits, simulator has "
+                f"{self.num_qubits}"
+            )
+        self._state = self._compiled_run(circuit)(self._state, self._next_key(key))
+        return self
+
+
+class BatchedSimulator(BaseSimulator):
+    """Many parallel trajectories = ``vmap`` over a PRNG-key axis (analog of
+    reference ``BatchedSimulator``, include/NoiseModel.cuh:231-297).
+
+    The state is a (batch, 2, 2^n) planes array. Averaging, per-trajectory
+    probabilities, sampling and histograms all stay on device.
+    """
+
+    def __init__(
+        self,
+        num_qubits: int,
+        batch_size: int,
+        noise_model: NoiseModel | None = None,
+        config: SimConfig = DEFAULT_CONFIG,
+        *,
+        seed: int = 0,
+    ):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        super().__init__(num_qubits, config, seed=seed)
+        self.batch_size = int(batch_size)
+        self.noise_model = noise_model if noise_model is not None else NoiseModel()
+        self._run_cache: dict[Any, Callable] = {}
+        self._states = self._initial_batch()
+
+    def _initial_batch(self) -> jax.Array:
+        one = ap.initial_state(self.num_qubits, self._rdtype)
+        return jnp.broadcast_to(one, (self.batch_size,) + one.shape)
+
+    def reset(self, basis_index: int = 0) -> None:
+        if not (0 <= basis_index < self.dim):
+            raise ValueError(f"basis index {basis_index} out of range")
+        one = ap.initial_state(self.num_qubits, self._rdtype, basis_index)
+        self._states = jnp.broadcast_to(one, (self.batch_size,) + one.shape)
+
+    # -- execution ----------------------------------------------------------
+
+    def _compiled_run(self, circuit: Circuit) -> Callable:
+        cache_key = (circuit.signature(), self.noise_model.signature())
+        fn = self._run_cache.get(cache_key)
+        if fn is None:
+            step, _ = build_trajectory_step(circuit, self.noise_model, self._rdtype)
+            fn = jax.jit(
+                jax.vmap(step),
+                donate_argnums=(0,) if self.config.donate_state else (),
+            )
+            self._run_cache[cache_key] = fn
+        return fn
+
+    def run(self, circuit: Circuit, key: jax.Array | None = None) -> "BatchedSimulator":
+        """Advance every trajectory through ``circuit`` with independent
+        noise randomness (reference src/NoiseModel.cu:815-831 — but every
+        gate type and channel works here)."""
+        if circuit.num_qubits != self.num_qubits:
+            raise ValueError(
+                f"circuit has {circuit.num_qubits} qubits, simulator has "
+                f"{self.num_qubits}"
+            )
+        keys = jax.random.split(self._next_key(key), self.batch_size)
+        self._states = self._compiled_run(circuit)(self._states, keys)
+        return self
+
+    # -- readout (batch-aware overrides) ------------------------------------
+
+    @property
+    def state_planes(self) -> jax.Array:
+        return self._states
+
+    def get_state(self) -> np.ndarray:
+        """(batch, 2^n) complex trajectory amplitudes."""
+        flat = np.asarray(self._states)
+        ctype = np.complex64 if flat.dtype == np.float32 else np.complex128
+        return (flat[:, 0] + 1j * flat[:, 1]).astype(ctype)
+
+    def trajectory_probabilities(self) -> jax.Array:
+        """(batch, 2^n) per-trajectory probabilities (reference
+        getTrajectoryProbabilities, src/NoiseModel.cu:916-936)."""
+        return _batch_probs_jit(self._states)
+
+    def probabilities(self) -> jax.Array:
+        """Batch-averaged probabilities (reference getAverageProbabilities,
+        src/NoiseModel.cu:894-914 — but averaged on device)."""
+        return _avg_probs_jit(self._states)
+
+    def average_probabilities(self) -> np.ndarray:
+        return np.asarray(self.probabilities())
+
+    def total_probability(self) -> float:
+        return float(jnp.mean(jnp.sum(self._states * self._states, axis=(1, 2))))
+
+    def sample(self, shots: int, key: jax.Array | None = None) -> jax.Array:
+        """(batch, shots) samples, one draw stream per trajectory."""
+        if shots < 1:
+            raise ValueError("shots must be >= 1")
+        keys = jax.random.split(self._next_key(key), self.batch_size)
+        return _batch_sample_jit(self._states, keys, shots)
+
+    def histogram(self, shots: int, key: jax.Array | None = None) -> dict[int, int]:
+        """Aggregate histogram over all trajectories; total counts =
+        batch_size * shots (reference getHistogram, src/NoiseModel.cu:
+        952-972)."""
+        from .base import counts_to_histogram
+
+        samples = np.asarray(self.sample(shots, key)).ravel()
+        return counts_to_histogram(samples, self.dim)
+
+    def measure_qubit(self, qubit: int, key: jax.Array | None = None):
+        raise NotImplementedError(
+            "per-trajectory measurement: use trajectory_probabilities() or "
+            "sample(); collapse-measurement on a batch is ambiguous"
+        )
+
+    def qubit_probability(self, qubit: int) -> float:
+        self._check_qubit(qubit)
+        p = np.asarray(self.probabilities())
+        mask = ((np.arange(self.dim) >> qubit) & 1).astype(bool)
+        return float(p[mask].sum())
+
+    @property
+    def total_memory_bytes(self) -> int:
+        """Device bytes held by the trajectory batch (analog of reference
+        getTotalMemoryBytes, include/NoiseModel.cuh:272)."""
+        return self.batch_size * 2 * self.dim * np.dtype(self._rdtype).itemsize
+
+
+@jax.jit
+def _batch_probs_jit(states: jax.Array) -> jax.Array:
+    return states[:, 0] * states[:, 0] + states[:, 1] * states[:, 1]
+
+
+@jax.jit
+def _avg_probs_jit(states: jax.Array) -> jax.Array:
+    return jnp.mean(states[:, 0] * states[:, 0] + states[:, 1] * states[:, 1], axis=0)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _batch_sample_jit(states: jax.Array, keys: jax.Array, shots: int) -> jax.Array:
+    return jax.vmap(lambda s, k: sample_from_state(s, k, shots))(states, keys)
