@@ -1,0 +1,66 @@
+"""Shared benchmark harness utilities.
+
+All timings chain K executions inside one jitted program (single dispatch)
+and sync with a scalar readback — honest device-side numbers with no
+async-launch artifacts (the pitfall behind the reference's flat ~0.25 ms
+curves, reference README.md:40-41) and no remote-tunnel dispatch tax.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+
+
+def setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones((8,), jnp.float32)))  # device warmup
+    return jax
+
+
+def time_chained(inner: Callable, x, reps: int = 10, trials: int = 3) -> float:
+    """Seconds per single `inner` application, measured over `reps` chained
+    calls inside one jit, best of `trials`."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_many(state):
+        for _ in range(reps):
+            state = inner(state)
+        return state
+
+    z = run_many(x)
+    float(jnp.sum(z * z))  # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        z = run_many(x)
+        _ = float(jnp.sum(z * z))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def build_circuit_runner(circuit, backend: str):
+    """circuit -> planes-state->planes-state callable on the given backend."""
+    import tpu_qsim.apply as ap
+
+    if backend == "pallas":
+        from tpu_qsim.kernels.fused_circuit import build_pallas_run
+
+        return build_pallas_run(circuit, np.float32)
+    from tpu_qsim.fusion import fuse_circuit, unfused_circuit
+    from tpu_qsim.statevector import build_xla_run_fn
+
+    groups = (
+        fuse_circuit(circuit, 5) if backend == "xla-fused"
+        else unfused_circuit(circuit)
+    )
+    return build_xla_run_fn(groups, np.float32, False)

@@ -63,7 +63,9 @@ def _xor_shift(x: jax.Array, qubit: int, n: int, interpret: bool) -> jax.Array:
             fwd = jnp.roll(x, -d, axis=1)
             bwd = jnp.roll(x, d, axis=1)
         else:
-            fwd = pltpu.roll(x, -d, 1)
+            # pltpu.roll requires non-negative shifts; -d mod 128 is the same
+            # lane rotation.
+            fwd = pltpu.roll(x, LANES - d, 1)
             bwd = pltpu.roll(x, d, 1)
         return jnp.where(bit0, fwd, bwd)
     # row bit: expose it with a leading-dim reshape and flip

@@ -1,0 +1,98 @@
+"""Utilities: endianness adapters, fidelity metrics, timing/profiling.
+
+The endianness adapter is the documented bridge the reference lacked: the
+library convention is qubit q <-> bit q (little-endian, Qiskit-like); Cirq
+orders its computational basis big-endian, so comparisons against Cirq
+require the bit-reversal permutation below (the reference hand-rolled the
+same conversion only inside its cuStateVec benchmark,
+reference benchmarks/benchmark_custatevec.cu:116-118, while its docs and
+kernels disagreed about endianness — SURVEY quirk #1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def bit_reversal_permutation(num_qubits: int) -> np.ndarray:
+    """perm[i] = bit-reversed i over ``num_qubits`` bits.
+
+    ``state_cirq = state_ours[perm]`` converts our little-endian amplitudes
+    to Cirq's big-endian basis ordering (and the map is an involution).
+    """
+    dim = 1 << num_qubits
+    idx = np.arange(dim)
+    out = np.zeros(dim, dtype=np.int64)
+    for b in range(num_qubits):
+        out |= ((idx >> b) & 1) << (num_qubits - 1 - b)
+    return out
+
+
+def to_big_endian(state: np.ndarray, num_qubits: int) -> np.ndarray:
+    """Reorder amplitudes from qubit0=LSB (ours/Qiskit) to qubit0=MSB (Cirq)."""
+    return np.asarray(state)[bit_reversal_permutation(num_qubits)]
+
+
+from_big_endian = to_big_endian  # bit reversal is an involution
+
+
+def state_fidelity(a: np.ndarray, b: np.ndarray) -> float:
+    """|<a|b>|^2 with normalization."""
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    na = np.linalg.norm(a)
+    nb = np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return 0.0
+    return float(abs(np.vdot(a, b)) ** 2 / (na * nb) ** 2)
+
+
+def max_amplitude_error(a: np.ndarray, b: np.ndarray, *, up_to_phase: bool = True) -> float:
+    """Elementwise max |a - phase*b|, optionally aligning global phase."""
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    if up_to_phase:
+        i = int(np.argmax(np.abs(b)))
+        if abs(b[i]) > 1e-12:
+            ph = a[i] / b[i]
+            if abs(ph) > 1e-12:
+                b = b * (ph / abs(ph)) if abs(abs(ph) - 1) < 1e-6 else b * ph
+    return float(np.max(np.abs(a - b)))
+
+
+def sync_time(fn: Callable[[], jax.Array], *, repeats: int = 1) -> float:
+    """Wall-clock seconds for ``repeats`` chained calls, forced to completion
+    by a scalar readback (``block_until_ready`` alone does not drain
+    remote-tunneled TPU queues; see .claude/skills/verify/SKILL.md)."""
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn()
+    _ = float(jnp.sum(jnp.ravel(jnp.asarray(out))[0:1]))
+    return (time.perf_counter() - t0) / repeats
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str) -> Iterator[None]:
+    """jax.profiler trace context — the tracing/observability hook (the
+    reference reserved Nsight artifact patterns but had no profiling driver;
+    SURVEY §5)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_persistent_compilation_cache(path: str = ".jax_cache") -> None:
+    """Turn on the on-disk XLA compile cache (compiles through the remote
+    TPU relay take minutes; cache hits are instant)."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

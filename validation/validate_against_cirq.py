@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Live differential validation against Cirq (when installed).
+
+Runs OUR simulator head-to-head with ``cirq.Simulator`` on the full gate set
+and random circuits — the reference's script never executed its own engine
+(reference validation/validate_against_cirq.py:67-260). Cirq orders basis
+states big-endian (qubit 0 = MSB), so our amplitudes go through the
+bit-reversal adapter (tpu_qsim.utils.to_big_endian) before comparison;
+global phase is aligned (Cirq drops global phase in some gate
+decompositions).
+
+Run: python validation/validate_against_cirq.py
+Exit 0 = all match (or cirq missing -> falls back to analytic tables).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if "JAX_PLATFORMS" not in os.environ:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+
+def our_state_big_endian(circuit) -> np.ndarray:
+    import tpu_qsim as q
+    from tpu_qsim.utils import to_big_endian
+
+    sim = q.StateVectorSimulator(
+        circuit.num_qubits, q.SimConfig(dtype="complex128", use_pallas=False)
+    )
+    sim.run(circuit)
+    return to_big_endian(sim.get_state(), circuit.num_qubits)
+
+
+def cirq_state(circuit) -> np.ndarray:
+    import cirq
+
+    qs = cirq.LineQubit.range(circuit.num_qubits)
+    ops = []
+    dispatch = {
+        "i": lambda g: cirq.I(qs[g.qubits[0]]),
+        "x": lambda g: cirq.X(qs[g.qubits[0]]),
+        "y": lambda g: cirq.Y(qs[g.qubits[0]]),
+        "z": lambda g: cirq.Z(qs[g.qubits[0]]),
+        "h": lambda g: cirq.H(qs[g.qubits[0]]),
+        "s": lambda g: cirq.S(qs[g.qubits[0]]),
+        "sdg": lambda g: (cirq.S ** -1)(qs[g.qubits[0]]),
+        "t": lambda g: cirq.T(qs[g.qubits[0]]),
+        "tdg": lambda g: (cirq.T ** -1)(qs[g.qubits[0]]),
+        "rx": lambda g: cirq.rx(g.param)(qs[g.qubits[0]]),
+        "ry": lambda g: cirq.ry(g.param)(qs[g.qubits[0]]),
+        "rz": lambda g: cirq.rz(g.param)(qs[g.qubits[0]]),
+        "p": lambda g: (cirq.Z ** (g.param / np.pi))(qs[g.qubits[0]]),
+        "cnot": lambda g: cirq.CNOT(qs[g.qubits[0]], qs[g.qubits[1]]),
+        "cz": lambda g: cirq.CZ(qs[g.qubits[0]], qs[g.qubits[1]]),
+        "swap": lambda g: cirq.SWAP(qs[g.qubits[0]], qs[g.qubits[1]]),
+        "cry": lambda g: cirq.ControlledGate(cirq.ry(g.param))(
+            qs[g.qubits[0]], qs[g.qubits[1]]),
+        "crz": lambda g: cirq.ControlledGate(cirq.rz(g.param))(
+            qs[g.qubits[0]], qs[g.qubits[1]]),
+        "toffoli": lambda g: cirq.TOFFOLI(
+            qs[g.qubits[0]], qs[g.qubits[1]], qs[g.qubits[2]]),
+    }
+    for g in circuit.gates:
+        ops.append(dispatch[g.name](g))
+    # cirq orders its state vector with qubit 0 (first LineQubit) as MSB
+    res = cirq.Simulator(dtype=np.complex128).simulate(
+        cirq.Circuit(ops), qubit_order=qs
+    )
+    return np.asarray(res.final_state_vector)
+
+
+def aligned_max_diff(a: np.ndarray, b: np.ndarray) -> float:
+    i = int(np.argmax(np.abs(b)))
+    ph = a[i] / b[i] if abs(b[i]) > 1e-12 else 1.0
+    ph = ph / abs(ph) if abs(ph) > 1e-12 else 1.0
+    return float(np.max(np.abs(a - ph * b)))
+
+
+def run(tol: float = 1e-9) -> int:
+    try:
+        import cirq  # noqa: F401
+    except ImportError:
+        print("cirq not installed - running analytic convention tables instead")
+        from validate_conventions import run as run_conv
+
+        return run_conv()
+
+    import tpu_qsim as q
+
+    failures = 0
+    cases = [("all-gates", (
+        q.Circuit(3).h(0).x(1).y(2).z(0).s(1).sdg(2).t(0).tdg(1)
+        .rx(2, 0.3).ry(0, 1.1).rz(1, 2.2).p(2, 0.5)
+        .cnot(0, 1).cz(1, 2).swap(0, 2).cry(2, 0, 0.9).crz(0, 2, 1.3)
+        .toffoli(0, 1, 2)))]
+    for seed in range(10):
+        cases.append((f"random-{seed}", q.random_circuit(5, 80, seed=seed)))
+    cases.append(("ghz-8", q.ghz_circuit(8)))
+
+    for name, c in cases:
+        diff = aligned_max_diff(our_state_big_endian(c), cirq_state(c))
+        ok = diff < tol
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'}  {name:16s} max|diff|={diff:.2e}")
+    print(f"\n{len(cases) - failures}/{len(cases)} cirq cross-checks passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())
