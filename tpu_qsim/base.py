@@ -31,8 +31,12 @@ class BaseSimulator:
         *,
         seed: int = 0,
     ):
-        if num_qubits < 1:
-            raise ValueError("num_qubits must be >= 1")
+        from .circuit import MAX_QUBITS
+
+        if not (1 <= num_qubits <= MAX_QUBITS):
+            raise ValueError(
+                f"num_qubits must be in [1, {MAX_QUBITS}], got {num_qubits}"
+            )
         self.num_qubits = int(num_qubits)
         self.dim = 1 << self.num_qubits
         self.config = config
@@ -126,6 +130,33 @@ class BaseSimulator:
         key = self._next_key(key)
         outcome, self._state = measure_and_collapse(self._state, key, qubit)
         return int(outcome)
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint amplitudes + metadata to ``.npz`` (the durable superset
+        of the reference's toHost/initializeBasis import-export surface,
+        reference src/StateVector.cu:193-215; the reference had no persistent
+        checkpointing at all)."""
+        np.savez(
+            path,
+            planes=np.asarray(self._state),
+            num_qubits=self.num_qubits,
+            dtype=str(self._rdtype),
+        )
+
+    def load_state(self, path: str) -> None:
+        """Restore a checkpoint written by :meth:`save_state`."""
+        data = np.load(path)
+        if int(data["num_qubits"]) != self.num_qubits:
+            raise ValueError(
+                f"checkpoint has {int(data['num_qubits'])} qubits, simulator "
+                f"has {self.num_qubits}"
+            )
+        planes = np.asarray(data["planes"], dtype=self._rdtype)
+        if planes.shape != self._state.shape:
+            raise ValueError(f"checkpoint shape {planes.shape} mismatch")
+        self._state = jnp.asarray(planes)
 
     # -- misc ---------------------------------------------------------------
 
