@@ -125,3 +125,48 @@ class TestDemo:
         assert "Bell state" in out
         assert "GHZ-4" in out
         assert "purity" in out
+
+
+class TestExpectationValues:
+    def test_z_on_ground(self):
+        sim = StateVectorSimulator(2, CFG)
+        assert sim.expectation_pauli("Z") == pytest.approx(1.0)
+        assert sim.expectation_pauli("ZZ") == pytest.approx(1.0)
+
+    def test_z_on_excited(self):
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(Circuit(2).x(0))
+        assert sim.expectation_pauli("Z") == pytest.approx(-1.0)   # qubit 0
+        assert sim.expectation_pauli("ZI") == pytest.approx(1.0)   # qubit 1
+        assert sim.expectation_pauli("ZZ") == pytest.approx(-1.0)
+
+    def test_x_on_plus(self):
+        sim = StateVectorSimulator(1, CFG)
+        sim.run(Circuit(1).h(0))
+        assert sim.expectation_pauli("X") == pytest.approx(1.0)
+        assert sim.expectation_pauli("Z") == pytest.approx(0.0, abs=1e-12)
+
+    def test_y_eigenstate(self):
+        # S H |0> = (|0> + i|1>)/sqrt2 is the +1 eigenstate of Y
+        sim = StateVectorSimulator(1, CFG)
+        sim.run(Circuit(1).h(0).s(0))
+        assert sim.expectation_pauli("Y") == pytest.approx(1.0)
+
+    def test_bell_correlations(self):
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(bell_circuit())
+        assert sim.expectation_pauli("ZZ") == pytest.approx(1.0)
+        assert sim.expectation_pauli("XX") == pytest.approx(1.0)
+        assert sim.expectation_pauli("YY") == pytest.approx(-1.0)
+        assert sim.expectation_pauli("Z") == pytest.approx(0.0, abs=1e-12)
+
+    def test_identity_string(self):
+        sim = StateVectorSimulator(3, CFG)
+        assert sim.expectation_pauli("III") == 1.0
+
+    def test_invalid_string(self):
+        sim = StateVectorSimulator(2, CFG)
+        with pytest.raises(ValueError):
+            sim.expectation_pauli("QZ")
+        with pytest.raises(ValueError):
+            sim.expectation_pauli("ZZZ")

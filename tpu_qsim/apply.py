@@ -195,6 +195,15 @@ def total_probability(state: jax.Array) -> jax.Array:
     return jnp.sum(state * state)
 
 
+def inner_product(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """<a|b> = (re, im) from two planes states."""
+    ar, ai = a[0], a[1]
+    br, bi = b[0], b[1]
+    re = jnp.sum(ar * br + ai * bi)
+    im = jnp.sum(ar * bi - ai * br)
+    return re, im
+
+
 def _bit_mask(n: int, qubit: int, dtype) -> jax.Array:
     """Flat (2^n,) 0/1 vector: bit ``qubit`` of each index."""
     idx = lax.broadcasted_iota(jnp.int32, (1 << n,), 0)

@@ -131,6 +131,26 @@ class BaseSimulator:
         outcome, self._state = measure_and_collapse(self._state, key, qubit)
         return int(outcome)
 
+    # -- observables ---------------------------------------------------------
+
+    def expectation_pauli(self, pauli: str) -> float:
+        """<psi| P |psi> for a Pauli string, e.g. ``"ZZ"`` or ``"XIY"``.
+
+        The string reads like a ket: the rightmost character acts on qubit 0;
+        strings shorter than ``num_qubits`` are padded with identities on the
+        high qubits. Capability the reference lacked entirely — its only
+        observables were probabilities.
+        """
+        pauli = pauli.upper()
+        if len(pauli) > self.num_qubits or not set(pauli) <= set("IXYZ"):
+            raise ValueError(f"invalid Pauli string {pauli!r}")
+        ops = tuple(
+            (len(pauli) - 1 - i, p) for i, p in enumerate(pauli) if p != "I"
+        )  # (qubit, pauli) pairs; rightmost char = qubit 0
+        if not ops:
+            return 1.0
+        return float(_pauli_expectation_jit(self._state, ops))
+
     # -- checkpoint / resume -------------------------------------------------
 
     def save_state(self, path: str) -> None:
@@ -206,6 +226,22 @@ def _total_prob_jit(state: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnums=(1,))
 def _marginal_jit(state: jax.Array, qubit: int) -> jax.Array:
     return ap.qubit_marginal(state, qubit)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _pauli_expectation_jit(state: jax.Array, ops: tuple) -> jax.Array:
+    import numpy as _np
+
+    from .gates import gate_matrix
+
+    transformed = state
+    for qubit, p in ops:
+        ur, ui = ap.split_matrix(
+            gate_matrix(p.lower()), _np.dtype(state.dtype)
+        )
+        transformed = ap.apply_unitary(transformed, ur, ui, (qubit,))
+    re, _ = ap.inner_product(state, transformed)
+    return re
 
 
 @partial(jax.jit, static_argnums=(2,))
