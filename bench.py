@@ -59,9 +59,9 @@ def main() -> int:
 
     @jax.jit
     def run_many(state):
-        for _ in range(REPS):
-            state = inner(state)
-        return state
+        # fori_loop keeps one kernel instance regardless of REPS (fast
+        # compile); the loop is sequential so timing stays honest.
+        return jax.lax.fori_loop(0, REPS, lambda i, s: inner(s), state)
 
     x = ap.initial_state(NUM_QUBITS, np.float32)
 

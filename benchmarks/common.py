@@ -33,9 +33,8 @@ def time_chained(inner: Callable, x, reps: int = 10, trials: int = 3) -> float:
 
     @jax.jit
     def run_many(state):
-        for _ in range(reps):
-            state = inner(state)
-        return state
+        # one kernel instance regardless of reps -> fast compile
+        return jax.lax.fori_loop(0, reps, lambda i, s: inner(s), state)
 
     z = run_many(x)
     float(jnp.sum(z * z))  # compile + warm

@@ -180,6 +180,11 @@ class BaseSimulator:
 
     # -- misc ---------------------------------------------------------------
 
+    @property
+    def memory_bytes(self) -> int:
+        """Device bytes held by the state (planes x amplitudes x itemsize)."""
+        return int(np.prod(self._state.shape)) * np.dtype(self._rdtype).itemsize
+
     def _check_qubit(self, qubit: int) -> None:
         if not (0 <= qubit < self.num_qubits):
             raise ValueError(f"qubit index {qubit} out of range")

@@ -95,9 +95,13 @@ class ShardedStateVectorSimulator(StateVectorSimulator):
         super().set_state(amplitudes)
         self._state = self._place(self._state)
 
-    def _dispatch_backend(self, groups) -> Callable:
+    def _dispatch_backend(self, circuit: Circuit) -> Callable:
         # The Pallas single-chip kernel does not apply here; always build the
         # XLA program and pin input/output shardings so GSPMD partitions it.
+        if self.config.fuse:
+            groups = fuse_circuit(circuit, self.config.max_fused_qubits)
+        else:
+            groups = unfused_circuit(circuit)
         consts = []
         for g in groups:
             mat = g.diag if g.diagonal else g.matrix
