@@ -195,6 +195,68 @@ def total_probability(state: jax.Array) -> jax.Array:
     return jnp.sum(state * state)
 
 
+def permute_qubits(state: jax.Array, src: tuple[int, ...]) -> jax.Array:
+    """Relabel index bits: new index bit ``i`` = old index bit ``src[i]``.
+
+    The data-movement primitive behind segmented >VMEM execution (qubit
+    relocation, the VMEM-blocking analog of the distributed state-vector
+    literature's pair-exchange qubit swaps). Constraints: ``src`` is a
+    permutation of range(n) and bits 0..6 are fixed (``src[i] == i`` for
+    i < 7) so the 128-lane axis never moves — the transpose then keeps a
+    (>=8, 128) tile-dense minor block and pays no layout padding.
+    """
+    n = num_qubits_of(state)
+    moved = [i for i in range(n) if src[i] != i]
+    if not moved:
+        return state
+    if min(moved) < LANE_FIXED_BITS:
+        raise ValueError(f"cannot move lane bits (<{LANE_FIXED_BITS}): {moved}")
+    if sorted(src) != list(range(n)):
+        raise ValueError("src must be a permutation of range(n)")
+
+    moved_set = set(moved)
+    # Build the old-layout shape: walk bit positions MSB->LSB, exposing moved
+    # bits, merging fixed runs. The bottom run (contains bits 0..6) is split
+    # into (X, 128) so the two minor dims stay tile-dense through the copy.
+    shape: list[int] = []
+    axis_of_bit: dict[int, int] = {}
+    slot_axis: list[int | None] = []  # per shape axis: exposed bit or None
+    i = n - 1
+    while i >= 0:
+        if i in moved_set:
+            axis_of_bit[i] = len(shape)
+            slot_axis.append(i)
+            shape.append(2)
+            i -= 1
+        else:
+            j = i
+            while j >= 0 and j not in moved_set:
+                j -= 1
+            slot_axis.append(None)
+            shape.append(1 << (i - j))
+            i = j
+    # split bottom run (>= 2^7 since lanes are fixed)
+    bottom = shape.pop()
+    slot_axis.pop()
+    shape.extend([bottom // 128, 128])
+    slot_axis.extend([None, None])
+
+    x = state.reshape([2] + shape)
+    # axis k of x (k>=1) corresponds to shape[k-1]; build transpose: the slot
+    # that held exposed bit b must now take the old axis of bit src-of-b.
+    # src maps new->old; slot for new bit b is the old slot of bit b (the
+    # moved set is closed under the permutation).
+    perm = [0] + [
+        (1 + axis_of_bit[src[b]]) if b is not None else 1 + k
+        for k, b in enumerate(slot_axis)
+    ]
+    y = x.transpose(perm)
+    return y.reshape(2, 1 << n)
+
+
+LANE_FIXED_BITS = 7
+
+
 def inner_product(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     """<a|b> = (re, im) from two planes states."""
     ar, ai = a[0], a[1]

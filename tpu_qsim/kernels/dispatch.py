@@ -51,12 +51,29 @@ def config_interpret(config: SimConfig) -> bool:
 def maybe_build_pallas_circuit_run(
     circuit: Circuit, rdtype, config: SimConfig
 ) -> Callable | None:
-    """Build the whole-circuit Pallas kernel if preconditions hold."""
-    if not pallas_supported(circuit.num_qubits, rdtype, config):
-        return None
-    return build_pallas_run(
-        circuit, np.float32, interpret=config_interpret(config)
-    )
+    """Build the best Pallas path for this circuit, or None to fall back.
+
+    n in [10, 20]  -> whole-circuit VMEM-resident kernel
+    n in (20, 26]  -> segmented grid kernel with qubit-relocation passes
+    """
+    n = circuit.num_qubits
+    if pallas_supported(n, rdtype, config):
+        return build_pallas_run(
+            circuit, np.float32, interpret=config_interpret(config)
+        )
+    if (
+        config.use_pallas
+        and np.dtype(rdtype) == np.float32
+        and MAX_PALLAS_QUBITS < n
+        and (_on_tpu() or config_interpret(config))
+    ):
+        from .segmented import MAX_SEGMENTED_QUBITS, build_segmented_run
+
+        if n <= MAX_SEGMENTED_QUBITS:
+            return build_segmented_run(
+                circuit, np.float32, interpret=config_interpret(config)
+            )
+    return None
 
 
 def maybe_build_pallas_run(groups, num_qubits, rdtype, config) -> Callable | None:
