@@ -46,11 +46,17 @@ def main() -> int:
     float(jnp.sum(jnp.ones((8,), jnp.float32)))
 
     backend = "pallas"
+    inner = None
     try:
-        from tpu_qsim.kernels.fused_circuit import build_pallas_run
+        from tpu_qsim.config import SimConfig
+        from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
 
-        inner = build_pallas_run(circuit, np.float32)
+        inner = maybe_build_pallas_circuit_run(
+            circuit, np.float32, SimConfig(dtype="complex64")
+        )
     except Exception:
+        inner = None
+    if inner is None:
         backend = "xla"
         from tpu_qsim.fusion import fuse_circuit
         from tpu_qsim.statevector import build_xla_run_fn

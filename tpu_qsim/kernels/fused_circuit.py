@@ -47,9 +47,11 @@ from ..gates import gate_matrix
 LANE_BITS = 7          # qubits 0..6 live on the 128-lane axis
 LANES = 1 << LANE_BITS
 
-# VMEM budget: state planes are 2 * 2^n * 4 bytes; with in/out aliasing and
-# intermediate values Mosaic needs ~3x that live. 2^20 -> 8 MB planes.
-MAX_PALLAS_QUBITS = 20
+# VMEM budget: state planes are 2 * 2^n * 4 bytes; the XOR-shift emission
+# keeps ~4-6 (rows, 128) f32 values live per gate, so n=20 (4 MB per plane)
+# exhausts the 16 MB VMEM during compilation. 19 is the safe ceiling; n=20
+# routes through the segmented grid path instead.
+MAX_PALLAS_QUBITS = 19
 MIN_PALLAS_QUBITS = LANE_BITS + 3   # need a few row bits to be worthwhile
 
 

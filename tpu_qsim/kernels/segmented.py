@@ -27,8 +27,11 @@ from ..circuit import Circuit
 from ..schedule import plan_segments
 from .fused_circuit import LANE_BITS, _emit_gate
 
-DEFAULT_LOCAL_BITS = 20
+# Block size mirrors the whole-circuit kernel's VMEM ceiling (2^19 amps =
+# 2 MB per plane per block, leaving headroom for per-gate intermediates).
+DEFAULT_LOCAL_BITS = 19
 MAX_SEGMENTED_QUBITS = 26
+SWAP_HEADROOM = 10  # planner needs local_bits - SWAP_MIN >= 3 victim slots
 
 
 def _build_segment_kernel(
@@ -86,10 +89,11 @@ def build_segmented_run(
     n = circuit.num_qubits
     if np.dtype(rdtype) != np.float32:
         raise ValueError("the segmented path is float32-only")
-    if not (local_bits < n <= MAX_SEGMENTED_QUBITS):
+    local_bits = min(local_bits, n - 1)
+    if not (SWAP_HEADROOM <= local_bits < n <= MAX_SEGMENTED_QUBITS):
         raise ValueError(
-            f"segmented path expects {local_bits} < n <= "
-            f"{MAX_SEGMENTED_QUBITS}, got {n}"
+            f"segmented path expects {SWAP_HEADROOM} <= local_bits < n <= "
+            f"{MAX_SEGMENTED_QUBITS}, got local_bits={local_bits}, n={n}"
         )
     segments, restore = plan_segments(circuit, local_bits)
     kernels = [
