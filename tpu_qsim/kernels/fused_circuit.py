@@ -47,11 +47,12 @@ from ..gates import gate_matrix
 LANE_BITS = 7          # qubits 0..6 live on the 128-lane axis
 LANES = 1 << LANE_BITS
 
-# VMEM budget: state planes are 2 * 2^n * 4 bytes; the XOR-shift emission
-# keeps ~4-6 (rows, 128) f32 values live per gate, so n=20 (4 MB per plane)
-# exhausts the 16 MB VMEM during compilation. 19 is the safe ceiling; n=20
-# routes through the segmented grid path instead.
-MAX_PALLAS_QUBITS = 19
+# Ceiling set by Mosaic compile time, not VMEM: kernel compile scales
+# superlinearly with the per-op tile count (measured: 12q 1.5s, 16q 26s,
+# 19q >17min through the remote compiler). 17q keeps compiles in the tens
+# of seconds; larger states route through the segmented grid path, whose
+# per-block shapes stay in this regime regardless of n.
+MAX_PALLAS_QUBITS = 17
 MIN_PALLAS_QUBITS = LANE_BITS + 3   # need a few row bits to be worthwhile
 
 
@@ -92,13 +93,14 @@ def _bit_mask(shape: tuple[int, int], qubit: int) -> jax.Array:
 def _coeff_array(
     values: np.ndarray,
     qubits: Sequence[int],
-    masks: dict[int, jax.Array],
     shape: tuple[int, int],
     dtype,
 ) -> jax.Array | float:
     """Broadcast C_v over the state: values[b] is the coefficient when the
     gate qubits spell assignment b (qubits[0] = MSB). Constant-folds when all
-    values coincide."""
+    values coincide. Bit masks are rebuilt from iota at every use — they are
+    VPU-free after fusion, whereas caching them would pin O(qubits) full-size
+    arrays in VMEM for the whole kernel."""
     if np.all(values == values[0]):
         return float(values[0])
     k = len(qubits)
@@ -109,7 +111,8 @@ def _coeff_array(
         cond = None
         for j, q in enumerate(qubits):
             want = (b >> (k - 1 - j)) & 1
-            m = masks[q] if want else ~masks[q]
+            m = _bit_mask(shape, q)
+            m = m if want else ~m
             cond = m if cond is None else cond & m
         acc = jnp.where(cond, float(values[b]), acc)
     return acc
@@ -121,18 +124,30 @@ def _emit_gate(
     u: np.ndarray,
     qubits: tuple[int, ...],
     n: int,
-    masks: dict[int, jax.Array],
     interpret: bool,
 ) -> tuple[jax.Array, jax.Array]:
     """Emit one k-qubit gate as XOR-shift variants. ``qubits[0]`` = matrix
-    MSB (library convention)."""
+    MSB (library convention).
+
+    (A direct block-arithmetic variant for row-bit-only gates was measured
+    and reverted: Mosaic relayouts on the stacked sub-blocks cost more than
+    the mask/where scheme it replaced.)
+    """
+    return _emit_gate_generic(xr, xi, u, qubits, n, interpret)
+
+
+def _emit_gate_generic(
+    xr: jax.Array,
+    xi: jax.Array,
+    u: np.ndarray,
+    qubits: tuple[int, ...],
+    n: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
     k = len(qubits)
     dim = 1 << k
     shape = xr.shape
     dtype = xr.dtype
-    for q in qubits:
-        if q not in masks:
-            masks[q] = _bit_mask(shape, q)
 
     acc_r = None
     acc_i = None
@@ -147,8 +162,8 @@ def _emit_gate(
             if (v >> (k - 1 - j)) & 1:
                 sr = _xor_shift(sr, q, n, interpret)
                 si = _xor_shift(si, q, n, interpret)
-        cr = _coeff_array(col.real, qubits, masks, shape, dtype)
-        ci = _coeff_array(col.imag, qubits, masks, shape, dtype)
+        cr = _coeff_array(col.real, qubits, shape, dtype)
+        ci = _coeff_array(col.imag, qubits, shape, dtype)
         has_re = not (isinstance(cr, float) and cr == 0.0)
         has_im = not (isinstance(ci, float) and ci == 0.0)
         tr = ti = None
@@ -190,9 +205,8 @@ def build_pallas_run(
     def kernel(in_ref, out_ref):
         xr = in_ref[0]
         xi = in_ref[1]
-        masks: dict[int, jax.Array] = {}
         for u, qubits in gate_list:
-            xr, xi = _emit_gate(xr, xi, u, qubits, n, masks, interpret)
+            xr, xi = _emit_gate(xr, xi, u, qubits, n, interpret)
         out_ref[0] = xr
         out_ref[1] = xi
 

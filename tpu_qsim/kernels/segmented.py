@@ -27,9 +27,10 @@ from ..circuit import Circuit
 from ..schedule import plan_segments
 from .fused_circuit import LANE_BITS, _emit_gate
 
-# Block size mirrors the whole-circuit kernel's VMEM ceiling (2^19 amps =
-# 2 MB per plane per block, leaving headroom for per-gate intermediates).
-DEFAULT_LOCAL_BITS = 19
+# Block size chosen for Mosaic compile time (grid kernels compile with
+# per-block shapes; 2^16-amplitude blocks keep segment compiles ~tens of
+# seconds) while staying far under VMEM (256 KB per plane per block).
+DEFAULT_LOCAL_BITS = 16
 MAX_SEGMENTED_QUBITS = 26
 SWAP_HEADROOM = 10  # planner needs local_bits - SWAP_MIN >= 3 victim slots
 
@@ -47,9 +48,8 @@ def _build_segment_kernel(
     def kernel(in_ref, out_ref):
         xr = in_ref[0]
         xi = in_ref[1]
-        masks: dict[int, jax.Array] = {}
         for u, qubits in gates:
-            xr, xi = _emit_gate(xr, xi, u, qubits, local_bits, masks, interpret)
+            xr, xi = _emit_gate(xr, xi, u, qubits, local_bits, interpret)
         out_ref[0] = xr
         out_ref[1] = xi
 
