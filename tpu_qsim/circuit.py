@@ -193,6 +193,9 @@ class Circuit:
     def crz(self, control: int, target: int, theta: float) -> "Circuit":
         return self.add("crz", control, target, param=theta)
 
+    def cp(self, control: int, target: int, lam: float) -> "Circuit":
+        return self.add("cp", control, target, param=lam)
+
     def toffoli(self, c1: int, c2: int, target: int) -> "Circuit":
         return self.add("toffoli", c1, c2, target)
 
@@ -214,6 +217,43 @@ def ghz_circuit(num_qubits: int) -> Circuit:
     c = Circuit(num_qubits).h(0)
     for i in range(num_qubits - 1):
         c.cnot(i, i + 1)
+    return c
+
+
+def qft_circuit(num_qubits: int) -> Circuit:
+    """Quantum Fourier transform (with final qubit-order reversal swaps).
+
+    Beyond the reference's factory set — a standard dense-entangling workload
+    whose controlled-phase ladder exercises crz/swap heavily.
+    """
+    import math
+
+    c = Circuit(num_qubits)
+    for target in range(num_qubits - 1, -1, -1):
+        c.h(target)
+        for k, control in enumerate(range(target - 1, -1, -1), start=2):
+            c.cp(control, target, math.pi / (1 << (k - 1)))
+    for i in range(num_qubits // 2):
+        c.swap(i, num_qubits - 1 - i)
+    return c
+
+
+def hardware_efficient_ansatz(
+    num_qubits: int, layers: int, seed: int = 0
+) -> Circuit:
+    """Variational ansatz: per-layer Ry/Rz on every qubit + CNOT ring.
+
+    The standard VQE building block; pairs with the parameterized-execution
+    API (StateVectorSimulator.run_parameterized)."""
+    rng = random.Random(seed)
+    c = Circuit(num_qubits)
+    for _ in range(layers):
+        for q in range(num_qubits):
+            c.ry(q, rng.uniform(0, 6.283185307179586))
+            c.rz(q, rng.uniform(0, 6.283185307179586))
+        if num_qubits > 1:
+            for q in range(num_qubits):
+                c.cnot(q, (q + 1) % num_qubits)
     return c
 
 

@@ -125,6 +125,12 @@ def crz(theta: float) -> np.ndarray:
     return controlled(rz(theta))
 
 
+def cp(lam: float) -> np.ndarray:
+    """Controlled-phase diag(1,1,1,e^{i lam}) — beyond the reference's gate
+    set; required for a correct QFT (CRZ differs by a conditional phase)."""
+    return controlled(phase(lam))
+
+
 TOFFOLI = controlled(CNOT)    # CCX on (c1, c2, t); reference src/Gates.cu:392-412
 
 
@@ -155,18 +161,21 @@ _PARAM = {
     "p": phase,
     "cry": cry,
     "crz": crz,
+    "cp": cp,
 }
 
 # Number of qubits each gate acts on.
 GATE_ARITY = {
     "i": 1, "x": 1, "y": 1, "z": 1, "h": 1, "s": 1, "sdg": 1, "t": 1,
     "tdg": 1, "rx": 1, "ry": 1, "rz": 1, "p": 1,
-    "cnot": 2, "cz": 2, "swap": 2, "cry": 2, "crz": 2,
+    "cnot": 2, "cz": 2, "swap": 2, "cry": 2, "crz": 2, "cp": 2,
     "toffoli": 3,
 }
 
 # Gates whose matrix is diagonal (used by fusion/kernel planners).
-DIAGONAL_GATES = frozenset({"i", "z", "s", "sdg", "t", "tdg", "rz", "p", "cz", "crz"})
+DIAGONAL_GATES = frozenset(
+    {"i", "z", "s", "sdg", "t", "tdg", "rz", "p", "cz", "crz", "cp"}
+)
 
 # Gates whose matrix is real (used by kernel planners to skip imag matmuls).
 REAL_GATES = frozenset({"i", "x", "z", "h", "cnot", "cz", "swap", "toffoli", "ry", "cry"})

@@ -19,6 +19,7 @@ from typing import Any, Callable
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from . import apply as ap
 from .base import BaseSimulator
@@ -46,6 +47,63 @@ def build_xla_run_fn(
                 state = ap.apply_diagonal(state, ur, ui, qubits)
             else:
                 state = ap.apply_unitary(state, ur, ui, qubits)
+        return state
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def build_parameterized_run_fn(
+    circuit: Circuit, rdtype: np.dtype, donate: bool
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Compile a circuit structure into a (state, params) -> state program.
+
+    Fixed gates are baked in as constants; parameterized gates build their
+    matrices from traced scalars (:mod:`tpu_qsim.gates_jax`). Unfused — the
+    matrices are runtime values, so host-side complex128 group composition
+    does not apply.
+    """
+    from . import gates_jax
+    from .gates import gate_matrix
+
+    plan = []  # ("const", qubits, diag, ur, ui) | ("param", name, qubits, idx)
+    pi = 0
+    for g in circuit.gates:
+        if g.name in gates_jax.TRACED_GATES:
+            plan.append(("param", g.name, g.qubits, pi))
+            pi += 1
+        elif g.param is not None:
+            # parameterized gate without a traced builder: constant-fold
+            from .fusion import unfused_circuit  # noqa: F401 (parity note)
+
+            mat = gate_matrix(g.name, g.param)
+            ur, ui = ap.split_matrix(mat, rdtype)
+            plan.append(("const", g.qubits, False, ur, ui))
+        else:
+            mat = gate_matrix(g.name)
+            from .gates import DIAGONAL_GATES
+
+            diag = g.name in DIAGONAL_GATES
+            ur, ui = ap.split_matrix(
+                np.ascontiguousarray(np.diagonal(mat)) if diag else mat, rdtype
+            )
+            plan.append(("const", g.qubits, diag, ur, ui))
+
+    def step(state: jax.Array, params: jax.Array) -> jax.Array:
+        for op in plan:
+            if op[0] == "const":
+                _, qubits, diag, ur, ui = op
+                if diag:
+                    state = ap.apply_diagonal(state, ur, ui, qubits)
+                else:
+                    state = ap.apply_unitary(state, ur, ui, qubits)
+            else:
+                _, name, qubits, idx = op
+                builder, diag = gates_jax.TRACED_GATES[name]
+                ur, ui = builder(params[idx], state.dtype)
+                if diag:
+                    state = ap.apply_diagonal(state, ur, ui, qubits)
+                else:
+                    state = ap.apply_unitary(state, ur, ui, qubits)
         return state
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -110,3 +168,38 @@ class StateVectorSimulator(BaseSimulator):
         """Single-gate convenience (compiles/caches a 1-gate circuit)."""
         c = Circuit(self.num_qubits).add(name, *qubits, param=param)
         self.run(c)
+
+    # -- parameterized execution (variational workloads) ---------------------
+
+    def run_parameterized(
+        self, circuit: Circuit, params: Any | None = None
+    ) -> "StateVectorSimulator":
+        """Run ``circuit`` with its gate parameters as *traced* inputs.
+
+        One compile per circuit **structure**: subsequent calls with any
+        parameter vector (ordered as ``circuit.params()``) reuse the same
+        executable — the VQE/QAOA sweep primitive. Capability beyond the
+        reference, which had no parameter abstraction at all.
+        """
+        if circuit.num_qubits != self.num_qubits:
+            raise ValueError(
+                f"circuit has {circuit.num_qubits} qubits, simulator has "
+                f"{self.num_qubits}"
+            )
+        if params is None:
+            params = circuit.params()
+        params = jnp.asarray(params, dtype=self._rdtype)
+        expected = len(circuit.params())
+        if params.shape != (expected,):
+            raise ValueError(
+                f"circuit has {expected} parameters, got {params.shape}"
+            )
+        key = ("parameterized", circuit.structure())
+        fn = self._run_cache.get(key)
+        if fn is None:
+            fn = build_parameterized_run_fn(
+                circuit, self._rdtype, self.config.donate_state
+            )
+            self._run_cache[key] = fn
+        self._state = fn(self._state, params)
+        return self
