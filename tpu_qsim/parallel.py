@@ -70,8 +70,15 @@ class ShardedStateVectorSimulator(StateVectorSimulator):
         axis: str = "tp",
         config: SimConfig = DEFAULT_CONFIG,
         *,
+        engine: str = "gspmd",
         seed: int = 0,
     ):
+        """``engine``: "gspmd" lets XLA insert collectives from sharding
+        annotations; "collective" uses the explicit shard_map + all_to_all
+        schedule (:mod:`tpu_qsim.shardmap_engine`)."""
+        if engine not in ("gspmd", "collective"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
         self.axis = axis
         n_shards = int(np.prod([self.mesh.shape[a] for a in (axis,)]))
@@ -96,8 +103,12 @@ class ShardedStateVectorSimulator(StateVectorSimulator):
         self._state = self._place(self._state)
 
     def _dispatch_backend(self, circuit: Circuit) -> Callable:
-        # The Pallas single-chip kernel does not apply here; always build the
-        # XLA program and pin input/output shardings so GSPMD partitions it.
+        if self.engine == "collective":
+            from .shardmap_engine import build_shardmap_run
+
+            return build_shardmap_run(circuit, self.mesh, self.axis, self._rdtype)
+        # GSPMD engine: the Pallas single-chip kernel does not apply; build
+        # the XLA program and pin input/output shardings so XLA partitions it.
         if self.config.fuse:
             groups = fuse_circuit(circuit, self.config.max_fused_qubits)
         else:

@@ -139,3 +139,76 @@ def plan_segments(
     restore = tuple(place.pos)  # new bit i = old bit pos[i] -> canonical
     identity = tuple(range(n))
     return segments, (restore if restore != identity else identity)
+
+
+@dataclass
+class BlockSwapSegment:
+    """One distributed segment: an optional relabeling that exchanges ALL
+    device-index bits with G local victim bits, then device-local gates."""
+
+    victims: tuple[int, ...] | None   # local bits receiving the device bits
+    gates: list[tuple[np.ndarray, tuple[int, ...]]] = field(default_factory=list)
+
+
+def plan_blockswap_segments(
+    circuit: Circuit, device_bits: int, swap_min: int = SWAP_MIN
+) -> tuple[list[BlockSwapSegment], tuple[int, ...]]:
+    """Segmentation for the shard_map executor: the only relabeling primitive
+    is a *full block swap* (all ``device_bits`` top bits exchanged with G
+    chosen local bits — one ``all_to_all``), matching what ICI collectives
+    express cheaply. Returns (segments, final placement pos list) where
+    ``pos[q]`` is the physical bit of logical qubit q after all segments.
+    """
+    n = circuit.num_qubits
+    g_bits = device_bits
+    local_bits = n - g_bits
+    # g victims + up to 3 swap-range bits claimed by one gate must coexist
+    if local_bits - swap_min < g_bits + 3:
+        raise ValueError("not enough local victim slots for a block swap")
+
+    place = _Placement(n)
+    segments: list[BlockSwapSegment] = []
+    pending: list = []
+    seg_qubits: set[int] = set()
+
+    def flush() -> None:
+        nonlocal pending, seg_qubits
+        if not pending:
+            return
+        victims: tuple[int, ...] | None = None
+        if any(place.pos[q] >= local_bits for q in seg_qubits):
+            vlist = [
+                b
+                for b in range(local_bits - 1, swap_min - 1, -1)
+                if place.at[b] not in seg_qubits
+            ][:g_bits]
+            assert len(vlist) == g_bits, "planner victim accounting bug"
+            victims = tuple(vlist)
+            for j, v in enumerate(victims):
+                place.swap_bits(v, local_bits + j)
+        gates = [
+            (gate_matrix(g.name, g.param),
+             tuple(place.pos[q] for q in g.qubits))
+            for g in pending
+        ]
+        for _, phys in gates:
+            assert all(b < local_bits for b in phys)
+        segments.append(BlockSwapSegment(victims, gates))
+        pending = []
+        seg_qubits = set()
+
+    for g in circuit.gates:
+        new_qubits = seg_qubits | set(g.qubits)
+        nonlocal_any = any(place.pos[q] >= local_bits for q in new_qubits)
+        free = sum(
+            1
+            for b in range(swap_min, local_bits)
+            if place.at[b] not in new_qubits
+        )
+        if nonlocal_any and free < g_bits:
+            flush()
+            new_qubits = set(g.qubits)
+        pending.append(g)
+        seg_qubits = new_qubits
+    flush()
+    return segments, tuple(place.pos)
