@@ -1,0 +1,141 @@
+"""Utility-layer tests: endianness adapters, fidelity metrics, profiler
+hook — plus the flagship physics cross-validation: the ensemble average of
+vmapped Monte-Carlo trajectories must converge to the exact density-matrix
+evolution (the two noise stacks validate each other)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_qsim import Circuit, SimConfig, StateVectorSimulator, bell_circuit
+from tpu_qsim.utils import (
+    bit_reversal_permutation,
+    max_amplitude_error,
+    state_fidelity,
+    to_big_endian,
+)
+
+CFG = SimConfig(dtype="complex128", use_pallas=False)
+
+
+class TestEndiannessAdapter:
+    def test_bit_reversal_involution(self):
+        perm = bit_reversal_permutation(5)
+        assert np.array_equal(perm[perm], np.arange(32))
+
+    def test_known_values(self):
+        perm = bit_reversal_permutation(3)
+        # 0b001 -> 0b100, 0b011 -> 0b110
+        assert perm[1] == 4
+        assert perm[3] == 6
+        assert perm[7] == 7
+
+    def test_x0_maps_to_big_endian_msb(self):
+        # our x(0) excites index 1; in Cirq's ordering (qubit 0 = MSB) the
+        # excited index is 2^(n-1)
+        sim = StateVectorSimulator(3, CFG)
+        sim.run(Circuit(3).x(0))
+        big = to_big_endian(sim.get_state(), 3)
+        assert big[4] == 1.0
+
+
+class TestFidelityMetrics:
+    def test_identical_states(self, rng):
+        from conftest import random_state
+
+        psi = random_state(4, rng)
+        assert state_fidelity(psi, psi) == pytest.approx(1.0)
+        assert max_amplitude_error(psi, psi) == pytest.approx(0.0, abs=1e-15)
+
+    def test_orthogonal_states(self):
+        a = np.array([1, 0, 0, 0], dtype=complex)
+        b = np.array([0, 1, 0, 0], dtype=complex)
+        assert state_fidelity(a, b) == pytest.approx(0.0)
+
+    def test_global_phase_ignored(self, rng):
+        from conftest import random_state
+
+        psi = random_state(3, rng)
+        rotated = psi * np.exp(0.77j)
+        assert state_fidelity(psi, rotated) == pytest.approx(1.0)
+        assert max_amplitude_error(rotated, psi) == pytest.approx(0.0, abs=1e-12)
+
+
+class TestProfilerHook:
+    def test_trace_writes_artifacts(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tpu_qsim.utils import profiler_trace
+
+        logdir = str(tmp_path / "trace")
+        with profiler_trace(logdir):
+            jnp.sum(jnp.ones(128)).block_until_ready()
+        # a plugins/profile dir with at least one artifact must exist
+        found = any("profile" in root for root, _, files in os.walk(logdir)
+                    if files)
+        assert found
+
+
+class TestMCWFMatchesDensityMatrix:
+    """Ensemble average of the trajectory unraveling == exact Kraus
+    evolution. This cross-validates noisy.py against density.py with no
+    shared code path — the strongest correctness statement the noise stack
+    can make. (Noise semantics are aligned by registering channels on the
+    same qubits every gate touches.)"""
+
+    @pytest.mark.parametrize(
+        "add_channel,p",
+        [
+            ("add_bit_flip", 0.15),
+            ("add_phase_flip", 0.2),
+            ("add_depolarizing", 0.2),
+            ("add_amplitude_damping", 0.25),
+            ("add_phase_damping", 0.3),
+        ],
+    )
+    def test_single_qubit_channel(self, add_channel, p):
+        from tpu_qsim.density import DensityMatrixSimulator
+        from tpu_qsim.noise import NoiseModel
+        from tpu_qsim.noisy import BatchedSimulator
+
+        nm = getattr(NoiseModel(), add_channel)(p, 0)
+        circuit = Circuit(1).h(0).t(0).h(0)  # every gate acts on qubit 0
+
+        dm = DensityMatrixSimulator(1, nm, CFG)
+        dm.run(circuit)
+        exact = np.asarray(dm.probabilities())
+
+        bs = BatchedSimulator(1, 6000, nm, CFG, seed=0)
+        bs.run(circuit)
+        mcwf = np.asarray(bs.average_probabilities())
+
+        np.testing.assert_allclose(mcwf, exact, atol=0.03)
+
+    def test_two_qubit_circuit(self):
+        from tpu_qsim.density import DensityMatrixSimulator
+        from tpu_qsim.noise import NoiseModel
+        from tpu_qsim.noisy import BatchedSimulator
+
+        # every gate touches both qubits -> both stacks fire the global
+        # channel on both qubits after every gate
+        nm = NoiseModel().add_depolarizing(0.08)
+        circuit = Circuit(2).swap(0, 1).cnot(0, 1).cz(1, 0)
+
+        dm = DensityMatrixSimulator(2, nm, CFG)
+        dm.set_state(np.array([0.5, 0.5, 0.5, 0.5]))
+        dm.run(circuit)
+        exact = np.asarray(dm.probabilities())
+
+        bs = BatchedSimulator(2, 8000, nm, CFG, seed=3)
+        bs._states = None  # replaced below with the superposition start
+        import jax.numpy as jnp
+
+        import tpu_qsim.apply as ap
+
+        one = ap.from_complex(np.array([0.5, 0.5, 0.5, 0.5]), np.float64)
+        bs._states = jnp.broadcast_to(one, (8000,) + one.shape)
+        bs.run(circuit)
+        mcwf = np.asarray(bs.average_probabilities())
+
+        np.testing.assert_allclose(mcwf, exact, atol=0.03)

@@ -9,7 +9,15 @@ Pallas VMEM-resident kernels, shard_map multi-chip scaling) rather than as a
 kernel-for-kernel translation.
 """
 
-from .circuit import Circuit, Gate, bell_circuit, ghz_circuit, random_circuit
+from .circuit import (
+    Circuit,
+    Gate,
+    bell_circuit,
+    ghz_circuit,
+    hardware_efficient_ansatz,
+    qft_circuit,
+    random_circuit,
+)
 from .config import DEFAULT_CONFIG, SimConfig
 from .cpu_reference import CPUReferenceSimulator
 from .statevector import StateVectorSimulator
@@ -19,12 +27,28 @@ __all__ = [
     "Gate",
     "bell_circuit",
     "ghz_circuit",
+    "qft_circuit",
+    "hardware_efficient_ansatz",
     "random_circuit",
     "SimConfig",
     "DEFAULT_CONFIG",
     "CPUReferenceSimulator",
     "StateVectorSimulator",
+    "simulate",
 ]
+
+
+def simulate(circuit, shots: int | None = None, *, seed: int = 0, **config_kw):
+    """One-call convenience: run ``circuit`` from |0...0> and return the
+    final amplitudes, or a histogram when ``shots`` is given."""
+    from .config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG.replace(**config_kw) if config_kw else DEFAULT_CONFIG
+    sim = StateVectorSimulator(circuit.num_qubits, cfg, seed=seed)
+    sim.run(circuit)
+    if shots is None:
+        return sim.get_state()
+    return sim.histogram(shots)
 
 __version__ = "0.1.0"
 

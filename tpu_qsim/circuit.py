@@ -14,8 +14,8 @@ Endianness: qubit ``q`` is bit ``q`` of the flat state index (documented in
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
-from typing import Iterable, Iterator, Sequence
+from dataclasses import dataclass
+from typing import Iterable, Iterator
 
 from .gates import GATE_ARITY, GATE_NAMES, PARAM_GATES
 

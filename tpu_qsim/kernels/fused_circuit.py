@@ -31,7 +31,6 @@ branch-free and transpose-free.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import numpy as np

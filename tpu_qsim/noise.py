@@ -20,8 +20,6 @@ from __future__ import annotations
 import enum
 import math
 from dataclasses import dataclass
-from typing import Iterable, Sequence
-
 import numpy as np
 
 from . import gates as G

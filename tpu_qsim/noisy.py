@@ -40,7 +40,6 @@ from .config import DEFAULT_CONFIG, SimConfig
 from .fusion import unfused_circuit
 from .noise import (
     NoiseModel,
-    NoiseType,
     UNITARY_MIX_TYPES,
     kraus_operators,
     unitary_mix,

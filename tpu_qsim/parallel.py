@@ -29,11 +29,9 @@ from typing import Any, Callable, Sequence
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import apply as ap
-from .base import BaseSimulator
 from .circuit import Circuit
 from .config import DEFAULT_CONFIG, SimConfig
 from .fusion import fuse_circuit, unfused_circuit

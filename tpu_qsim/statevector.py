@@ -73,8 +73,6 @@ def build_parameterized_run_fn(
             pi += 1
         elif g.param is not None:
             # parameterized gate without a traced builder: constant-fold
-            from .fusion import unfused_circuit  # noqa: F401 (parity note)
-
             mat = gate_matrix(g.name, g.param)
             ur, ui = ap.split_matrix(mat, rdtype)
             plan.append(("const", g.qubits, False, ur, ui))
