@@ -1,0 +1,86 @@
+"""Algorithm-level end-to-end tests: Grover amplification and QAOA MaxCut
+optimization running through the public simulator surface."""
+
+import numpy as np
+import pytest
+
+from tpu_qsim import SimConfig, StateVectorSimulator
+from tpu_qsim.algorithms import (
+    grover_circuit,
+    maxcut_expectation,
+    qaoa_maxcut_circuit,
+)
+
+CFG = SimConfig(dtype="complex128", use_pallas=False)
+
+
+class TestGrover:
+    @pytest.mark.parametrize("n,marked", [(2, 0), (2, 3), (3, 5), (4, 11)])
+    def test_marked_state_amplified(self, n, marked):
+        sim = StateVectorSimulator(n, CFG)
+        sim.run(grover_circuit(n, marked))
+        probs = sim.get_probabilities()
+        # the marked state must dominate (theory: >= ~0.81 for n >= 2 at the
+        # optimal iteration count; 2 qubits reaches exactly 1.0)
+        assert int(np.argmax(probs)) == marked
+        assert probs[marked] > 0.8
+
+    def test_two_qubits_exact(self):
+        # 1 Grover iteration on 2 qubits finds the target with certainty
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(grover_circuit(2, 2))
+        assert sim.get_probabilities()[2] == pytest.approx(1.0, abs=1e-10)
+
+    def test_sampling_finds_marked(self):
+        sim = StateVectorSimulator(3, CFG, seed=5)
+        sim.run(grover_circuit(3, 6))
+        hist = sim.histogram(500)
+        assert max(hist, key=hist.get) == 6
+
+    def test_invalid_args(self):
+        with pytest.raises(ValueError):
+            grover_circuit(5, 0)
+        with pytest.raises(ValueError):
+            grover_circuit(3, 8)
+
+
+class TestQAOA:
+    EDGES = [(0, 1), (1, 2), (2, 3), (3, 0)]  # 4-cycle, maxcut = 4
+
+    def test_p1_beats_random_guessing(self):
+        # one QAOA layer with known-good angles on the 4-cycle
+        gamma, beta = 0.5, 0.39
+        c = qaoa_maxcut_circuit(self.EDGES, 4, [gamma], [beta])
+        sim = StateVectorSimulator(4, CFG)
+        sim.run(c)
+        val = maxcut_expectation(sim, self.EDGES)
+        assert val > 2.0  # random assignment expects exactly 2
+
+    def test_parameter_sweep_via_run_parameterized(self):
+        c = qaoa_maxcut_circuit(self.EDGES, 4, [0.1], [0.1])
+        sim = StateVectorSimulator(4, CFG)
+        best = -1.0
+        # crude grid search, every point reusing one compiled executable;
+        # parameters appear as (gamma x 4 edges, beta x 4 qubits) per layer
+        n_params = len(c.params())
+        for gamma in (0.3, 0.5, 0.7):
+            for beta in (0.2, 0.39, 0.6):
+                params = [gamma] * 4 + [2.0 * beta] * 4
+                assert len(params) == n_params
+                sim.reset()
+                sim.run_parameterized(c, params)
+                best = max(best, maxcut_expectation(sim, self.EDGES))
+        assert len(sim._run_cache) == 1  # single executable for the sweep
+        assert best > 2.5
+
+    def test_zero_angles_is_uniform(self):
+        c = qaoa_maxcut_circuit(self.EDGES, 4, [0.0], [0.0])
+        sim = StateVectorSimulator(4, CFG)
+        sim.run(c)
+        np.testing.assert_allclose(sim.get_probabilities(),
+                                   np.full(16, 1 / 16), atol=1e-10)
+        assert maxcut_expectation(sim, self.EDGES) == pytest.approx(2.0)
+
+    def test_mismatched_layers(self):
+        with pytest.raises(ValueError):
+            qaoa_maxcut_circuit(self.EDGES, 4, [0.1, 0.2], [0.1])

@@ -1,0 +1,120 @@
+"""Reference algorithms built on the circuit IR — end-to-end workloads that
+exercise the whole stack (multi-controlled gates, diagonal oracles,
+parameterized layers, expectation values).
+
+These go beyond the reference's factory circuits (Bell/GHZ/random) and pair
+with the framework's capabilities: Grover drives deep Toffoli ladders through
+the fused executor; QAOA drives ``run_parameterized`` + ``expectation_pauli``
+the way a variational optimizer would.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from .circuit import Circuit
+
+
+def _multi_controlled_z(c: Circuit, qubits: Sequence[int]) -> None:
+    """Apply Z conditioned on every qubit in ``qubits`` being 1.
+
+    Uses the textbook ancilla-free recursive construction: fine for the
+    small registers these demos target (k <= 2 uses native gates; k == 3
+    uses the standard CCZ-from-Toffoli sandwich with H on the target).
+    """
+    qs = list(qubits)
+    k = len(qs)
+    if k == 1:
+        c.z(qs[0])
+    elif k == 2:
+        c.cz(qs[0], qs[1])
+    elif k == 3:
+        # CCZ = H(target) CCX H(target)
+        c.h(qs[2])
+        c.toffoli(qs[0], qs[1], qs[2])
+        c.h(qs[2])
+    else:
+        # recursive split via controlled-phase decomposition:
+        # C^k Z = C^{k-1} P(pi/2) . C^{k-1}X-conjugated phase pieces.
+        # For the demo sizes we cap at 3 controls.
+        raise ValueError("multi-controlled Z supported for <= 3 qubits here")
+
+
+def grover_circuit(num_qubits: int, marked: int, iterations: int | None = None) -> Circuit:
+    """Grover search for basis state ``marked`` over ``num_qubits`` qubits.
+
+    Oracle: phase-flip on |marked> (X-conjugated multi-controlled Z).
+    Diffusion: H^n . (phase flip on |0..0>) . H^n.
+    """
+    if not (2 <= num_qubits <= 4):
+        raise ValueError("grover demo supports 2..4 qubits")
+    if not (0 <= marked < (1 << num_qubits)):
+        raise ValueError("marked state out of range")
+    if iterations is None:
+        # floor, not round: k rotations give amplitude sin((2k+1)theta);
+        # overshooting rotates past the target (n=2: 1 iteration is exact,
+        # 2 would land back at uniform)
+        iterations = max(1, int(math.pi / 4 * math.sqrt(1 << num_qubits)))
+
+    c = Circuit(num_qubits)
+    for q in range(num_qubits):
+        c.h(q)
+    all_qs = list(range(num_qubits))
+    for _ in range(iterations):
+        # oracle: flip phase of |marked>
+        for q in all_qs:
+            if not ((marked >> q) & 1):
+                c.x(q)
+        _multi_controlled_z(c, all_qs)
+        for q in all_qs:
+            if not ((marked >> q) & 1):
+                c.x(q)
+        # diffusion: 2|s><s| - I
+        for q in all_qs:
+            c.h(q)
+            c.x(q)
+        _multi_controlled_z(c, all_qs)
+        for q in all_qs:
+            c.x(q)
+            c.h(q)
+    return c
+
+
+def qaoa_maxcut_circuit(
+    edges: Sequence[tuple[int, int]],
+    num_qubits: int,
+    gammas: Sequence[float],
+    betas: Sequence[float],
+) -> Circuit:
+    """QAOA ansatz for MaxCut: |+>^n then alternating cost/mixer layers.
+
+    Cost layer: exp(-i gamma/2 * sum_{(a,b)} Z_a Z_b) via CNOT-Rz-CNOT.
+    Mixer: Rx(2 beta) on every qubit. Parameterized: run with
+    ``StateVectorSimulator.run_parameterized`` to sweep (gammas, betas).
+    """
+    if len(gammas) != len(betas):
+        raise ValueError("gammas and betas must have equal length")
+    c = Circuit(num_qubits)
+    for q in range(num_qubits):
+        c.h(q)
+    for gamma, beta in zip(gammas, betas):
+        for a, b in edges:
+            c.cnot(a, b)
+            c.rz(b, float(gamma))
+            c.cnot(a, b)
+        for q in range(num_qubits):
+            c.rx(q, 2.0 * float(beta))
+    return c
+
+
+def maxcut_expectation(sim, edges: Sequence[tuple[int, int]]) -> float:
+    """<C> = sum over edges of (1 - <Z_a Z_b>) / 2 on the simulator's state."""
+    total = 0.0
+    n = sim.num_qubits
+    for a, b in edges:
+        zz = ["I"] * n
+        zz[n - 1 - a] = "Z"
+        zz[n - 1 - b] = "Z"
+        total += 0.5 * (1.0 - sim.expectation_pauli("".join(zz)))
+    return total
