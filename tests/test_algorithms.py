@@ -65,7 +65,9 @@ class TestQAOA:
         n_params = len(c.params())
         for gamma in (0.3, 0.5, 0.7):
             for beta in (0.2, 0.39, 0.6):
-                params = [gamma] * 4 + [2.0 * beta] * 4
+                # parameter vector holds raw gate angles in gate order:
+                # rz(-gamma) per edge, then rx(2 beta) per qubit
+                params = [-gamma] * 4 + [2.0 * beta] * 4
                 assert len(params) == n_params
                 sim.reset()
                 sim.run_parameterized(c, params)

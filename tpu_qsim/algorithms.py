@@ -16,29 +16,56 @@ from typing import Sequence
 from .circuit import Circuit
 
 
-def _multi_controlled_z(c: Circuit, qubits: Sequence[int]) -> None:
-    """Apply Z conditioned on every qubit in ``qubits`` being 1.
+def _multi_controlled_phase(
+    c: Circuit, controls: Sequence[int], target: int, theta: float
+) -> None:
+    """C^k P(theta): phase e^{i theta} iff all controls and the target are 1.
 
-    Uses the textbook ancilla-free recursive construction: fine for the
-    small registers these demos target (k <= 2 uses native gates; k == 3
-    uses the standard CCZ-from-Toffoli sandwich with H on the target).
+    Ancilla-free textbook recursion:
+      C^k P(t) = CP(t/2)(c_k, target) . C^{k-1}X(c_1..c_{k-1} -> c_k)
+               . CP(-t/2)(c_k, target) . C^{k-1}X(...) .
+               . C^{k-1}P(t/2)(c_1..c_{k-1}, target)
+    with C^1X = cnot, C^2X = toffoli (deeper X-recursions are not needed for
+    the <= 4-qubit demo registers).
     """
-    qs = list(qubits)
-    k = len(qs)
-    if k == 1:
-        c.z(qs[0])
-    elif k == 2:
-        c.cz(qs[0], qs[1])
-    elif k == 3:
-        # CCZ = H(target) CCX H(target)
-        c.h(qs[2])
-        c.toffoli(qs[0], qs[1], qs[2])
-        c.h(qs[2])
+    cs = list(controls)
+    if not cs:
+        c.p(target, theta)
+        return
+    if len(cs) == 1:
+        c.cp(cs[0], target, theta)
+        return
+    last = cs[-1]
+    rest = cs[:-1]
+    c.cp(last, target, theta / 2)
+    _multi_controlled_x(c, rest, last)
+    c.cp(last, target, -theta / 2)
+    _multi_controlled_x(c, rest, last)
+    _multi_controlled_phase(c, rest, target, theta / 2)
+
+
+def _multi_controlled_x(c: Circuit, controls: Sequence[int], target: int) -> None:
+    cs = list(controls)
+    if len(cs) == 1:
+        c.cnot(cs[0], target)
+    elif len(cs) == 2:
+        c.toffoli(cs[0], cs[1], target)
     else:
-        # recursive split via controlled-phase decomposition:
-        # C^k Z = C^{k-1} P(pi/2) . C^{k-1}X-conjugated phase pieces.
-        # For the demo sizes we cap at 3 controls.
-        raise ValueError("multi-controlled Z supported for <= 3 qubits here")
+        raise ValueError("demo registers need at most 2-controlled X")
+
+
+def _multi_controlled_z(c: Circuit, qubits: Sequence[int]) -> None:
+    """Phase-flip the all-ones state of ``qubits`` (any count the recursion
+    supports; 1..4 for these demos)."""
+    qs = list(qubits)
+    if len(qs) == 1:
+        c.z(qs[0])
+    elif len(qs) == 2:
+        c.cz(qs[0], qs[1])
+    else:
+        import math as _math
+
+        _multi_controlled_phase(c, qs[:-1], qs[-1], _math.pi)
 
 
 def grover_circuit(num_qubits: int, marked: int, iterations: int | None = None) -> Circuit:
@@ -89,8 +116,9 @@ def qaoa_maxcut_circuit(
 ) -> Circuit:
     """QAOA ansatz for MaxCut: |+>^n then alternating cost/mixer layers.
 
-    Cost layer: exp(-i gamma/2 * sum_{(a,b)} Z_a Z_b) via CNOT-Rz-CNOT.
-    Mixer: Rx(2 beta) on every qubit. Parameterized: run with
+    Cost layer: exp(-i gamma C) with C = sum (1 - Z_a Z_b)/2, realized per
+    edge as CNOT-Rz(-gamma)-CNOT (= exp(+i gamma/2 Z_a Z_b), global phase
+    dropped). Mixer: Rx(2 beta) on every qubit. Parameterized: run with
     ``StateVectorSimulator.run_parameterized`` to sweep (gammas, betas).
     """
     if len(gammas) != len(betas):
@@ -101,7 +129,7 @@ def qaoa_maxcut_circuit(
     for gamma, beta in zip(gammas, betas):
         for a, b in edges:
             c.cnot(a, b)
-            c.rz(b, float(gamma))
+            c.rz(b, -float(gamma))
             c.cnot(a, b)
         for q in range(num_qubits):
             c.rx(q, 2.0 * float(beta))
