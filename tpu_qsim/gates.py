@@ -184,6 +184,52 @@ PARAM_GATES = frozenset(_PARAM)
 GATE_NAMES = frozenset(GATE_ARITY)
 
 
+def register_gate(
+    name: str,
+    matrix_or_fn,
+    *,
+    num_qubits: int | None = None,
+) -> None:
+    """Register a user-defined gate so it can appear in circuits by name.
+
+    ``matrix_or_fn`` is either a fixed (2^k, 2^k) unitary or a callable
+    ``param -> matrix`` for a parameterized gate (``num_qubits`` required in
+    the callable case). Extensibility hook beyond the reference's closed
+    17-member enum (reference include/Circuit.hpp:42-59).
+    """
+    if name in GATE_ARITY:
+        raise ValueError(f"gate '{name}' already exists")
+    if not name.isidentifier():
+        raise ValueError(f"invalid gate name '{name}'")
+    if callable(matrix_or_fn):
+        if num_qubits is None:
+            raise ValueError("num_qubits required for parameterized gates")
+        k = int(num_qubits)
+        _PARAM[name] = matrix_or_fn
+    else:
+        mat = np.asarray(matrix_or_fn, dtype=np.complex128)
+        dim = mat.shape[0]
+        if mat.shape != (dim, dim) or dim & (dim - 1):
+            raise ValueError("matrix must be square with power-of-2 dimension")
+        if not np.allclose(mat.conj().T @ mat, np.eye(dim), atol=1e-10):
+            raise ValueError("matrix is not unitary")
+        k = dim.bit_length() - 1
+        _FIXED[name] = mat
+        if np.allclose(mat, np.diag(np.diagonal(mat))):
+            global DIAGONAL_GATES
+            DIAGONAL_GATES = DIAGONAL_GATES | {name}
+    GATE_ARITY[name] = k
+    global GATE_NAMES, PARAM_GATES
+    GATE_NAMES = frozenset(GATE_ARITY)
+    PARAM_GATES = frozenset(_PARAM)
+    # circuit.py snapshots these at import; refresh its view
+    from . import circuit as _circuit_mod
+
+    _circuit_mod.GATE_ARITY = GATE_ARITY
+    _circuit_mod.GATE_NAMES = GATE_NAMES
+    _circuit_mod.PARAM_GATES = PARAM_GATES
+
+
 @lru_cache(maxsize=4096)
 def _cached_param_matrix(name: str, param: float) -> np.ndarray:
     return _PARAM[name](param)

@@ -167,6 +167,42 @@ class StateVectorSimulator(BaseSimulator):
         c = Circuit(self.num_qubits).add(name, *qubits, param=param)
         self.run(c)
 
+    def apply_matrix(self, matrix: Any, qubits: tuple[int, ...] | list[int]) -> None:
+        """Apply an arbitrary k-qubit unitary (the analog of cuStateVec's
+        ``custatevecApplyMatrix``, which the reference benchmarked against
+        but did not expose itself). ``qubits[0]`` is the matrix-index MSB.
+
+        Unitarity is checked on host (atol 1e-6); compiled programs are
+        cached by matrix bytes.
+        """
+        qubits = tuple(int(q) for q in qubits)
+        for q in qubits:
+            self._check_qubit(q)
+        if len(set(qubits)) != len(qubits):
+            raise ValueError("qubits must be distinct")
+        u = np.asarray(matrix, dtype=np.complex128)
+        k = len(qubits)
+        if u.shape != (1 << k, 1 << k):
+            raise ValueError(
+                f"matrix shape {u.shape} does not match {k} qubit(s)"
+            )
+        if not np.allclose(u.conj().T @ u, np.eye(1 << k), atol=1e-6):
+            raise ValueError("matrix is not unitary")
+        key = ("matrix", qubits, u.tobytes())
+        fn = self._run_cache.get(key)
+        if fn is None:
+            ur, ui = ap.split_matrix(u, self._rdtype)
+
+            def step(state: jax.Array) -> jax.Array:
+                return ap.apply_unitary(state, ur, ui, qubits)
+
+            fn = jax.jit(
+                step,
+                donate_argnums=(0,) if self.config.donate_state else (),
+            )
+            self._run_cache[key] = fn
+        self._state = fn(self._state)
+
     # -- parameterized execution (variational workloads) ---------------------
 
     def run_parameterized(
