@@ -42,6 +42,11 @@ class SimConfig:
     max_fused_qubits: int = 5
     use_pallas: bool = True
     pallas_interpret: bool = False  # run Pallas kernels interpreted (tests/CPU)
+    # Largest state the whole-circuit VMEM-resident kernel handles; above it
+    # the segmented grid path takes over. The default is set by Mosaic
+    # compile time (not VMEM) — raise it if minutes-long one-time compiles
+    # are acceptable for your circuit shapes (they cache persistently).
+    pallas_whole_circuit_max: int = 17
     donate_state: bool = True
 
     @property

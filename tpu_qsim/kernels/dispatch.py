@@ -22,6 +22,7 @@ import jax
 from ..circuit import Circuit
 from ..config import SimConfig
 from .fused_circuit import (
+    HARD_MAX_PALLAS_QUBITS,
     MAX_PALLAS_QUBITS,
     MIN_PALLAS_QUBITS,
     build_pallas_run,
@@ -36,10 +37,14 @@ def _on_tpu() -> bool:
 
 
 def pallas_supported(num_qubits: int, rdtype, config: SimConfig) -> bool:
+    ceiling = min(
+        getattr(config, "pallas_whole_circuit_max", MAX_PALLAS_QUBITS),
+        HARD_MAX_PALLAS_QUBITS,
+    )
     return (
         config.use_pallas
         and np.dtype(rdtype) == np.float32
-        and MIN_PALLAS_QUBITS <= num_qubits <= MAX_PALLAS_QUBITS
+        and MIN_PALLAS_QUBITS <= num_qubits <= ceiling
         and (_on_tpu() or config_interpret(config))
     )
 
@@ -64,7 +69,7 @@ def maybe_build_pallas_circuit_run(
     if (
         config.use_pallas
         and np.dtype(rdtype) == np.float32
-        and MAX_PALLAS_QUBITS < n
+        and n > MIN_PALLAS_QUBITS
         and (_on_tpu() or config_interpret(config))
     ):
         from .segmented import MAX_SEGMENTED_QUBITS, build_segmented_run

@@ -51,7 +51,8 @@ LANES = 1 << LANE_BITS
 # 19q >17min through the remote compiler). 17q keeps compiles in the tens
 # of seconds; larger states route through the segmented grid path, whose
 # per-block shapes stay in this regime regardless of n.
-MAX_PALLAS_QUBITS = 17
+MAX_PALLAS_QUBITS = 17              # default policy ceiling (compile time)
+HARD_MAX_PALLAS_QUBITS = 20         # VMEM bound: beyond this compiles OOM
 MIN_PALLAS_QUBITS = LANE_BITS + 3   # need a few row bits to be worthwhile
 
 
@@ -190,10 +191,10 @@ def build_pallas_run(
     n = circuit.num_qubits
     if np.dtype(rdtype) != np.float32:
         raise ValueError("the Pallas kernel is float32-only")
-    if not (MIN_PALLAS_QUBITS <= n <= MAX_PALLAS_QUBITS):
+    if not (MIN_PALLAS_QUBITS <= n <= HARD_MAX_PALLAS_QUBITS):
         raise ValueError(
-            f"Pallas path supports {MIN_PALLAS_QUBITS}..{MAX_PALLAS_QUBITS} "
-            f"qubits, got {n}"
+            f"Pallas path supports {MIN_PALLAS_QUBITS}.."
+            f"{HARD_MAX_PALLAS_QUBITS} qubits, got {n}"
         )
     rows = 1 << (n - LANE_BITS)
     gate_list = [
