@@ -115,6 +115,46 @@ def main() -> int:
     except Exception:
         ms20, backend20 = None, None
 
+    # per-gate honest comparison: the reference's own synced throughput
+    # table says H @20q = 24,600 gates/s (reference README.md:54-63)
+    h20 = None
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+        import numpy as _np
+
+        import tpu_qsim as q
+        import tpu_qsim.apply as ap
+        from tpu_qsim.config import SimConfig
+        from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
+
+        c = q.Circuit(20)
+        for i in range(NUM_GATES):
+            c.h(i % 20)
+        inner = maybe_build_pallas_circuit_run(
+            c, _np.float32, SimConfig(dtype="complex64")
+        )
+        if inner is not None:
+            x = ap.initial_state(20, _np.float32)
+            reps = 50
+
+            @_jax.jit
+            def run_h(state):
+                return _jax.lax.fori_loop(0, reps, lambda i, s: inner(s), state)
+
+            z = run_h(x)
+            float(_jnp.sum(z * z))
+            floor = _floor(_jnp, x)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                z = run_h(x)
+                _ = float(_jnp.sum(z * z))
+                best = min(best, time.perf_counter() - t0)
+            h20 = NUM_GATES * reps / max(best - floor, 1e-9)
+    except Exception:
+        h20 = None
+
     out = {
         "metric": "16q_100gate_circuit_ms",
         "value": round(ms16, 4),
@@ -126,6 +166,11 @@ def main() -> int:
         "secondary_20q_ms": round(ms20, 4) if ms20 else None,
         "secondary_20q_vs_baseline": (
             round(BASELINES_MS[20] / ms20, 3) if ms20 else None
+        ),
+        # reference's own synced per-gate table: H @20q = 24,600 gates/s
+        "h_20q_gates_per_sec": round(h20) if h20 else None,
+        "h_20q_vs_reference_gate_table": (
+            round(h20 / 24600.0, 2) if h20 else None
         ),
         "device": str(jax.devices()[0]),
     }

@@ -8,4 +8,4 @@ total) — the TPU analog of the reference's shared-memory tiled kernels
 state and the fusion window is the whole program.
 """
 
-from .dispatch import maybe_build_pallas_run  # noqa: F401
+from .dispatch import maybe_build_pallas_circuit_run  # noqa: F401

@@ -80,8 +80,3 @@ def maybe_build_pallas_circuit_run(
             )
     return None
 
-
-def maybe_build_pallas_run(groups, num_qubits, rdtype, config) -> Callable | None:
-    """Legacy group-based hook (kept for the sharded backend's call site);
-    the circuit-level entry above is preferred."""
-    return None
