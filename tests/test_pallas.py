@@ -124,3 +124,14 @@ class TestDispatchIntegration:
         sim = StateVectorSimulator(N, cfg)
         sim.run(ghz_circuit(N))
         assert sim.get_probabilities()[0] == pytest.approx(0.5, abs=1e-12)
+
+
+class TestDeepCircuitStability:
+    def test_500_gates_vs_oracle(self):
+        # f32 error accumulation through a deep kernel stays bounded
+        c = random_circuit(N, 500, seed=77)
+        ora = CPUReferenceSimulator(N)
+        ora.run(c)
+        out = pallas_apply(c)
+        assert np.max(np.abs(out - ora.get_state())) < 2e-4
+        assert abs(np.sum(np.abs(out) ** 2) - 1.0) < 1e-4
