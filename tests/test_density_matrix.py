@@ -208,3 +208,35 @@ class TestQubitProbability:
         sim = dm(1, nm)
         sim.run(Circuit(1).i(0))
         assert sim.qubit_probability(0) == pytest.approx(0.2, abs=1e-10)
+
+
+class TestMixedStateExpectation:
+    def test_werner_state_zz(self):
+        # regression: the inherited pure-state expectation computed
+        # tr(rho^2 P) instead of tr(rho P) on mixed states
+        from tpu_qsim.noise import NoiseModel
+
+        lam = 0.5  # rho = lam |Phi+><Phi+| + (1-lam) I/4
+        bell = np.zeros((4, 4), dtype=complex)
+        bell[0, 0] = bell[0, 3] = bell[3, 0] = bell[3, 3] = 0.5
+        rho = lam * bell + (1 - lam) * np.eye(4) / 4
+        sim = dm(2)
+        sim.set_matrix(rho)
+        # tr(rho ZZ) = lam * 1 + (1-lam) * 0 = lam
+        assert sim.expectation_pauli("ZZ") == pytest.approx(lam, abs=1e-10)
+        assert sim.expectation_pauli("XX") == pytest.approx(lam, abs=1e-10)
+        assert sim.expectation_pauli("Z") == pytest.approx(0.0, abs=1e-10)
+        assert sim.expectation_pauli("II") == pytest.approx(1.0, abs=1e-10)
+
+    def test_matches_pure_state_when_pure(self):
+        from tpu_qsim import StateVectorSimulator
+
+        c = Circuit(2).h(0).t(0).cnot(0, 1).ry(1, 0.7)
+        sv = StateVectorSimulator(2, CFG)
+        sv.run(c)
+        d = dm(2)
+        d.run(c)
+        for pauli in ("Z", "ZZ", "XY", "YX", "XX"):
+            assert d.expectation_pauli(pauli) == pytest.approx(
+                sv.expectation_pauli(pauli), abs=1e-10
+            )

@@ -242,3 +242,46 @@ class TestBatchedSimulator:
         sim = BatchedSimulator(2, 3, None, CFG)
         with pytest.raises(NotImplementedError):
             sim.measure_qubit(0)
+
+
+class TestBatchedStateSurface:
+    """Regression tests: BatchedSimulator must not fall through to the
+    single-state BaseSimulator methods (which read an unused buffer)."""
+
+    def test_expectation_reflects_trajectories(self):
+        from tpu_qsim import Circuit
+
+        bs = BatchedSimulator(1, 500, NoiseModel().add_bit_flip(0.3, 0), CFG,
+                              seed=2)
+        bs.run(Circuit(1).i(0))
+        # <Z> = P(0) - P(1) ~ 0.7 - 0.3 = 0.4 (NOT the +1.0 of the unused
+        # initial buffer)
+        assert bs.expectation_pauli("Z") == pytest.approx(0.4, abs=0.08)
+
+    def test_set_state_broadcasts(self):
+        bs = BatchedSimulator(2, 5, None, CFG)
+        psi = np.array([0, 1, 0, 0], dtype=complex)
+        bs.set_state(psi)
+        states = bs.get_state()
+        assert states.shape == (5, 4)
+        np.testing.assert_allclose(states, np.tile(psi, (5, 1)), atol=1e-12)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        path = str(tmp_path / "batch.npz")
+        nm = NoiseModel().add_depolarizing(0.2)
+        a = BatchedSimulator(2, 6, nm, CFG, seed=9)
+        a.run(bell_circuit())
+        a.save_state(path)
+        b = BatchedSimulator(2, 6, nm, CFG)
+        b.load_state(path)
+        np.testing.assert_allclose(a.get_state(), b.get_state(), atol=1e-15)
+
+    def test_checkpoint_batch_mismatch(self, tmp_path):
+        path = str(tmp_path / "batch.npz")
+        BatchedSimulator(2, 6, None, CFG).save_state(path)
+        with pytest.raises(ValueError, match="batch"):
+            BatchedSimulator(2, 7, None, CFG).load_state(path)
+
+    def test_memory_bytes_matches_batch(self):
+        bs = BatchedSimulator(3, 10, None, SimConfig(dtype="complex64"))
+        assert bs.memory_bytes == bs.total_memory_bytes == 10 * 2 * 8 * 4

@@ -134,3 +134,23 @@ class TestAnsatzFactory:
     def test_single_qubit_no_ring(self):
         c = hardware_efficient_ansatz(1, 2)
         assert all(g.arity == 1 for g in c)
+
+
+class TestNonTracedParamGateRejected:
+    def test_registered_param_gate_raises(self):
+        # regression: folding a non-traced parameterized gate desynchronized
+        # the params vector and poisoned the structure-keyed cache
+        from tpu_qsim import gates
+
+        def myphase(theta):
+            return np.diag([1.0, np.exp(1j * theta)])
+
+        if "myphase_t" not in gates.GATE_NAMES:
+            gates.register_gate("myphase_t", myphase, num_qubits=1)
+        c = Circuit(2).add("myphase_t", 0, param=0.8).rx(0, 1.0)
+        sim = StateVectorSimulator(2, CFG)
+        with pytest.raises(ValueError, match="traced-parameter"):
+            sim.run_parameterized(c)
+        # plain run() still works with the custom gate
+        sim.run(c)
+        assert sim.total_probability() == pytest.approx(1.0, abs=1e-10)

@@ -128,13 +128,7 @@ class TestMCWFMatchesDensityMatrix:
         exact = np.asarray(dm.probabilities())
 
         bs = BatchedSimulator(2, 8000, nm, CFG, seed=3)
-        bs._states = None  # replaced below with the superposition start
-        import jax.numpy as jnp
-
-        import tpu_qsim.apply as ap
-
-        one = ap.from_complex(np.array([0.5, 0.5, 0.5, 0.5]), np.float64)
-        bs._states = jnp.broadcast_to(one, (8000,) + one.shape)
+        bs.set_state(np.array([0.5, 0.5, 0.5, 0.5]))
         bs.run(circuit)
         mcwf = np.asarray(bs.average_probabilities())
 

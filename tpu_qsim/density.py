@@ -249,6 +249,24 @@ class DensityMatrixSimulator(BaseSimulator):
         mask = ((np.arange(self.dim) >> qubit) & 1).astype(bool)
         return float(p[mask].sum())
 
+    def expectation_pauli(self, pauli: str) -> float:
+        """tr(rho P) for a Pauli string (same string convention as
+        BaseSimulator.expectation_pauli — rightmost char = qubit 0).
+
+        Overrides the pure-state implementation, which would silently
+        compute tr(rho^2 P) on the rho planes."""
+        pauli = pauli.upper()
+        if len(pauli) > self.num_qubits or not set(pauli) <= set("IXYZ"):
+            raise ValueError(f"invalid Pauli string {pauli!r}")
+        ops = tuple(
+            (len(pauli) - 1 - i, p) for i, p in enumerate(pauli) if p != "I"
+        )
+        if not ops:
+            return self.trace()
+        return float(
+            _dm_pauli_expectation_jit(self._state, ops, self.num_qubits)
+        )
+
     # -- sampling / measurement --------------------------------------------
 
     def sample(self, shots: int, key: jax.Array | None = None) -> jax.Array:
@@ -284,6 +302,20 @@ def _dm_diag_jit(rho: jax.Array, dim: int) -> jax.Array:
 @jax.jit
 def _purity_jit(rho: jax.Array) -> jax.Array:
     return jnp.sum(rho * rho)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _dm_pauli_expectation_jit(rho: jax.Array, ops: tuple, n: int) -> jax.Array:
+    from .gates import gate_matrix
+
+    # apply P on the row side of the 2n-bit planes state, then take Re tr
+    transformed = rho
+    for qubit, p in ops:
+        ur, ui = ap.split_matrix(gate_matrix(p.lower()), np.dtype(rho.dtype))
+        transformed = ap.apply_unitary(transformed, ur, ui, (qubit + n,))
+    dim = 1 << n
+    re = transformed[0].reshape(dim, dim)
+    return jnp.sum(jnp.diagonal(re))
 
 
 @partial(jax.jit, static_argnums=(2, 3))

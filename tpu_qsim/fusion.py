@@ -30,7 +30,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .circuit import Circuit, Gate
-from .gates import DIAGONAL_GATES, gate_matrix
+from . import gates as _gates
+from .gates import gate_matrix
 
 
 @dataclass
@@ -153,7 +154,7 @@ def fuse_circuit(circuit: Circuit, max_fused_qubits: int = 5) -> list[FusedGate]
         qubits = tuple(sorted({q for g in group_gates for q in g.qubits},
                               reverse=True))
         matrix = compose_group(group_gates, qubits)
-        diagonal = all(g.name in DIAGONAL_GATES for g in group_gates)
+        diagonal = all(g.name in _gates.DIAGONAL_GATES for g in group_gates)
         fused.append(FusedGate(qubits, matrix, diagonal, len(group_gates)))
     return fused
 
@@ -166,7 +167,7 @@ def unfused_circuit(circuit: Circuit) -> list[FusedGate]:
             FusedGate(
                 tuple(g.qubits),
                 gate_matrix(g.name, g.param),
-                g.name in DIAGONAL_GATES,
+                g.name in _gates.DIAGONAL_GATES,
                 1,
             )
         )

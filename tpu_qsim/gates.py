@@ -177,8 +177,6 @@ DIAGONAL_GATES = frozenset(
     {"i", "z", "s", "sdg", "t", "tdg", "rz", "p", "cz", "crz", "cp"}
 )
 
-# Gates whose matrix is real (used by kernel planners to skip imag matmuls).
-REAL_GATES = frozenset({"i", "x", "z", "h", "cnot", "cz", "swap", "toffoli", "ry", "cry"})
 
 PARAM_GATES = frozenset(_PARAM)
 GATE_NAMES = frozenset(GATE_ARITY)

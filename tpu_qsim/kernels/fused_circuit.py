@@ -31,6 +31,7 @@ branch-free and transpose-free.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Sequence
 
 import numpy as np
@@ -219,7 +220,9 @@ def build_pallas_run(
         interpret=interpret,
     )
 
-    @jax.jit
+    # donate: the pallas_call aliases in/out; donating the wrapper input
+    # lets XLA satisfy the alias without a defensive copy of the state
+    @partial(jax.jit, donate_argnums=(0,))
     def run(state: jax.Array) -> jax.Array:
         x = state.reshape(2, rows, LANES)
         y = call(x)

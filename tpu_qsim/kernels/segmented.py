@@ -111,4 +111,4 @@ def build_segmented_run(
             state = ap.permute_qubits(state, restore)
         return state
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(0,))

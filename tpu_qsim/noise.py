@@ -132,6 +132,20 @@ class NoiseModel:
     Mirrors the reference's overload surface (per-qubit / qubit-list /
     global; reference src/NoiseModel.cu:24-101): ``qubits=None`` registers a
     global channel applying to every qubit.
+
+    .. warning:: **Insertion semantics differ between backends**, faithfully
+       mirroring the reference's two (mutually inconsistent) conventions:
+
+       * ``NoisySimulator``/``BatchedSimulator``: after EVERY gate, every
+         channel fires once per qubit it covers — even qubits the gate never
+         touched (reference src/NoiseModel.cu:573-577).
+       * ``DensityMatrixSimulator``: after every gate, channels fire only on
+         the GATE'S OWN qubits (reference src/DensityMatrix.cu:201-212).
+
+       The two coincide exactly when every channel's qubit set is contained
+       in every gate's qubit set (e.g. single-qubit circuits, or channels
+       registered on all qubits of an all-to-all circuit) — the condition the
+       MCWF-vs-DM cross-validation tests construct deliberately.
     """
 
     def __init__(self) -> None:

@@ -306,6 +306,65 @@ class BatchedSimulator(BaseSimulator):
         getTotalMemoryBytes, include/NoiseModel.cuh:272)."""
         return self.batch_size * 2 * self.dim * np.dtype(self._rdtype).itemsize
 
+    # -- batch-aware overrides of single-state BaseSimulator methods --------
+    # (the inherited versions would silently read/write the unused single
+    # `_state` buffer)
+
+    @property
+    def memory_bytes(self) -> int:
+        return self.total_memory_bytes
+
+    def set_state(self, amplitudes: Any) -> None:
+        """Start every trajectory from the given pure state."""
+        amplitudes = np.asarray(amplitudes)
+        if amplitudes.shape != (self.dim,):
+            raise ValueError(f"state must have shape ({self.dim},)")
+        one = ap.from_complex(amplitudes, self._rdtype)
+        self._states = jnp.broadcast_to(one, (self.batch_size,) + one.shape)
+
+    def expectation_pauli(self, pauli: str) -> float:
+        """Trajectory-ensemble estimator: mean over trajectories of
+        <psi_t| P |psi_t> (converges to tr(rho P))."""
+        pauli = pauli.upper()
+        if len(pauli) > self.num_qubits or not set(pauli) <= set("IXYZ"):
+            raise ValueError(f"invalid Pauli string {pauli!r}")
+        ops = tuple(
+            (len(pauli) - 1 - i, p) for i, p in enumerate(pauli) if p != "I"
+        )
+        if not ops:
+            return 1.0
+        from .base import _pauli_expectation_jit
+
+        vals = jax.vmap(lambda s: _pauli_expectation_jit(s, ops))(self._states)
+        return float(jnp.mean(vals))
+
+    def save_state(self, path: str) -> None:
+        np.savez(
+            path,
+            planes=np.asarray(self._states),
+            num_qubits=self.num_qubits,
+            batch_size=self.batch_size,
+            dtype=str(self._rdtype),
+        )
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        if int(data["num_qubits"]) != self.num_qubits:
+            raise ValueError("checkpoint qubit count mismatch")
+        if int(data.get("batch_size", -1)) != self.batch_size:
+            raise ValueError("checkpoint batch size mismatch")
+        planes = np.asarray(data["planes"], dtype=self._rdtype)
+        if planes.shape != self._states.shape:
+            raise ValueError("checkpoint shape mismatch")
+        self._states = jnp.asarray(planes)
+
+    def sync(self) -> float:
+        return self.total_probability()
+
+    def block_until_ready(self):
+        jax.block_until_ready(self._states)
+        return self
+
 
 @jax.jit
 def _batch_probs_jit(states: jax.Array) -> jax.Array:

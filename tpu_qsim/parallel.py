@@ -171,6 +171,11 @@ class ShardedBatchedSimulator(BatchedSimulator):
         if self._sharding is not None:
             self._states = jax.device_put(self._states, self._sharding)
 
+    def set_state(self, amplitudes) -> None:
+        super().set_state(amplitudes)
+        if self._sharding is not None:
+            self._states = jax.device_put(self._states, self._sharding)
+
     def _compiled_run(self, circuit: Circuit) -> Callable:
         cache_key = (circuit.signature(), self.noise_model.signature(), "sharded")
         fn = self._run_cache.get(cache_key)

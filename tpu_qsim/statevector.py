@@ -72,10 +72,15 @@ def build_parameterized_run_fn(
             plan.append(("param", g.name, g.qubits, pi))
             pi += 1
         elif g.param is not None:
-            # parameterized gate without a traced builder: constant-fold
-            mat = gate_matrix(g.name, g.param)
-            ur, ui = ap.split_matrix(mat, rdtype)
-            plan.append(("const", g.qubits, False, ur, ui))
+            # A parameterized gate without a traced builder cannot share the
+            # structure-keyed executable: folding it would (a) desynchronize
+            # the params vector from circuit.params() and (b) bake its value
+            # into a cache entry keyed only by structure. Fail loudly.
+            raise ValueError(
+                f"gate '{g.name}' has no traced-parameter builder; "
+                f"run_parameterized supports {sorted(gates_jax.TRACED_GATES)} "
+                f"(use run() for circuits with custom parameterized gates)"
+            )
         else:
             mat = gate_matrix(g.name)
             from .gates import DIAGONAL_GATES

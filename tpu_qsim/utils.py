@@ -63,7 +63,9 @@ def max_amplitude_error(a: np.ndarray, b: np.ndarray, *, up_to_phase: bool = Tru
         if abs(b[i]) > 1e-12:
             ph = a[i] / b[i]
             if abs(ph) > 1e-12:
-                b = b * (ph / abs(ph)) if abs(abs(ph) - 1) < 1e-6 else b * ph
+                # only ever align by a UNIT-modulus phase: applying the full
+                # complex ratio would silently mask magnitude errors
+                b = b * (ph / abs(ph))
     return float(np.max(np.abs(a - b)))
 
 

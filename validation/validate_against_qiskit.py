@@ -72,10 +72,9 @@ def qiskit_state(circuit) -> np.ndarray:
 
 
 def aligned_max_diff(a: np.ndarray, b: np.ndarray) -> float:
-    i = int(np.argmax(np.abs(b)))
-    ph = a[i] / b[i] if abs(b[i]) > 1e-12 else 1.0
-    ph = ph / abs(ph) if abs(ph) > 1e-12 else 1.0
-    return float(np.max(np.abs(a - ph * b)))
+    from tpu_qsim.utils import max_amplitude_error
+
+    return max_amplitude_error(a, b, up_to_phase=True)
 
 
 def run(tol: float = 1e-9) -> int:
