@@ -31,7 +31,6 @@ branch-free and transpose-free.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import numpy as np
@@ -220,9 +219,11 @@ def build_pallas_run(
         interpret=interpret,
     )
 
-    # donate: the pallas_call aliases in/out; donating the wrapper input
-    # lets XLA satisfy the alias without a defensive copy of the state
-    @partial(jax.jit, donate_argnums=(0,))
+    # NOTE: no donate_argnums here. It was measured on-chip as perf-neutral
+    # (the pallas_call's input_output_aliases already covers the in-kernel
+    # update) and donation invalidates the caller's buffer — a footgun for
+    # benchmark loops and any non-simulator caller that reuses its input.
+    @jax.jit
     def run(state: jax.Array) -> jax.Array:
         x = state.reshape(2, rows, LANES)
         y = call(x)

@@ -111,4 +111,6 @@ def build_segmented_run(
             state = ap.permute_qubits(state, restore)
         return state
 
-    return jax.jit(run, donate_argnums=(0,))
+    # no donation: see fused_circuit.build_pallas_run (perf-neutral,
+    # and it would invalidate non-simulator callers' buffers)
+    return jax.jit(run)
