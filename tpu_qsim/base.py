@@ -128,7 +128,12 @@ class BaseSimulator:
         src/StateVector.cu:260-314)."""
         self._check_qubit(qubit)
         key = self._next_key(key)
-        outcome, self._state = measure_and_collapse(self._state, key, qubit)
+        fn = (
+            _measure_and_collapse_donating
+            if self.config.donate_state
+            else measure_and_collapse
+        )
+        outcome, self._state = fn(self._state, key, qubit)
         return int(outcome)
 
     # -- observables ---------------------------------------------------------
@@ -256,8 +261,7 @@ def sample_from_state(state: jax.Array, key: jax.Array, shots: int) -> jax.Array
     return jax.random.categorical(key, logp, shape=(shots,)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def measure_and_collapse(
+def _measure_and_collapse(
     state: jax.Array, key: jax.Array, qubit: int
 ) -> tuple[jax.Array, jax.Array]:
     p1 = ap.qubit_marginal(state, qubit)
@@ -265,3 +269,13 @@ def measure_and_collapse(
     p_outcome = jnp.where(outcome, p1, 1.0 - p1)
     new_state = ap.collapse(state, qubit, outcome, p_outcome)
     return outcome.astype(jnp.int32), new_state
+
+
+# Two compiled variants, selected by SimConfig.donate_state: donation keeps
+# the in-place update but invalidates any caller-held reference to the input
+# planes — the same aliasing footgun deliberately avoided elsewhere (see
+# kernels/fused_circuit.build_pallas_run).
+measure_and_collapse = partial(jax.jit, static_argnums=(2,))(_measure_and_collapse)
+_measure_and_collapse_donating = partial(
+    jax.jit, static_argnums=(2,), donate_argnums=(0,)
+)(_measure_and_collapse)

@@ -19,7 +19,8 @@ from typing import Iterable, Iterator
 
 from .gates import GATE_ARITY, GATE_NAMES, PARAM_GATES
 
-MAX_QUBITS = 32  # sanity bound, analog of reference cuda_config::MAX_QUBITS=30
+MAX_QUBITS = 30  # reference cuda_config::MAX_QUBITS parity; also keeps the
+# flat int32 iota index masks of the readout path in range (2^30 < 2^31-1)
 
 
 @dataclass(frozen=True)

@@ -280,9 +280,12 @@ class DensityMatrixSimulator(BaseSimulator):
         (reference dmCollapseMeasurement, src/DensityMatrix.cu:1134-1157)."""
         self._check_qubit(qubit)
         key = self._next_key(key)
-        outcome, self._state = _dm_measure_jit(
-            self._state, key, qubit, self.num_qubits
+        fn = (
+            _dm_measure_jit_donating
+            if self.config.donate_state
+            else _dm_measure_jit
         )
+        outcome, self._state = fn(self._state, key, qubit, self.num_qubits)
         return int(outcome)
 
 
@@ -325,8 +328,7 @@ def _dm_sample_jit(rho: jax.Array, key: jax.Array, dim: int, shots: int) -> jax.
     return jax.random.categorical(key, logp, shape=(shots,)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0,))
-def _dm_measure_jit(
+def _dm_measure(
     rho: jax.Array, key: jax.Array, qubit: int, n: int
 ) -> tuple[jax.Array, jax.Array]:
     dim = 1 << n
@@ -344,3 +346,10 @@ def _dm_measure_jit(
     inv = 1.0 / jnp.maximum(p_outcome, jnp.finfo(rho.dtype).tiny)
     new_rho = jnp.where(keep, rho * inv.astype(rho.dtype), 0.0)
     return outcome.astype(jnp.int32), new_rho
+
+
+# donation variants selected by SimConfig.donate_state (see base.py rationale)
+_dm_measure_jit = partial(jax.jit, static_argnums=(2, 3))(_dm_measure)
+_dm_measure_jit_donating = partial(
+    jax.jit, static_argnums=(2, 3), donate_argnums=(0,)
+)(_dm_measure)

@@ -203,6 +203,19 @@ def register_gate(
         if num_qubits is None:
             raise ValueError("num_qubits required for parameterized gates")
         k = int(num_qubits)
+        # Probe the builder once so a malformed user gate fails at
+        # registration rather than silently corrupting amplitudes later
+        # (mirrors the fixed-matrix validation below).
+        probe = np.asarray(matrix_or_fn(0.0), dtype=np.complex128)
+        if probe.shape != (1 << k, 1 << k):
+            raise ValueError(
+                f"gate function returns shape {probe.shape}, expected "
+                f"{(1 << k, 1 << k)} for {k} qubit(s)"
+            )
+        if not np.allclose(
+            probe.conj().T @ probe, np.eye(1 << k), atol=1e-10
+        ):
+            raise ValueError("gate function does not return a unitary at 0.0")
         _PARAM[name] = matrix_or_fn
     else:
         mat = np.asarray(matrix_or_fn, dtype=np.complex128)
