@@ -238,10 +238,27 @@ class TestBatchedSimulator:
         with pytest.raises(ValueError):
             BatchedSimulator(2, 0, None, CFG)
 
-    def test_measure_qubit_not_supported(self):
-        sim = BatchedSimulator(2, 3, None, CFG)
-        with pytest.raises(NotImplementedError):
-            sim.measure_qubit(0)
+    def test_measure_qubit_bell_correlation(self):
+        # per-trajectory collapse: measuring both qubits of a Bell state
+        # must give perfectly correlated (batch,) outcome vectors with both
+        # values represented at batch=64
+        from tpu_qsim import bell_circuit
+
+        sim = BatchedSimulator(2, 64, None, CFG, seed=11)
+        sim.run(bell_circuit())
+        a = sim.measure_qubit(0)
+        b = sim.measure_qubit(1)
+        assert a.shape == (64,) and b.shape == (64,)
+        assert np.array_equal(a, b)
+        assert set(np.unique(a)) == {0, 1}
+        # post-collapse states are basis states: total prob stays 1
+        assert sim.total_probability() == pytest.approx(1.0, abs=1e-5)
+
+    def test_measure_qubit_deterministic_on_basis(self):
+        sim = BatchedSimulator(3, 8, None, CFG, seed=2)
+        sim.run(Circuit(3).x(1))
+        assert np.array_equal(sim.measure_qubit(1), np.ones(8, dtype=np.int32))
+        assert np.array_equal(sim.measure_qubit(0), np.zeros(8, dtype=np.int32))
 
 
 class TestBatchedStateSurface:

@@ -86,8 +86,8 @@ class TestPlanner:
         segs, restore = plan_segments(c, local_bits=10)
         assert segs[0].perm_src is not None
         for seg in segs:
-            for _, phys in seg.gates:
-                assert all(b < 10 for b in phys)
+            for g in seg.gates:
+                assert all(b < 10 for b in g.qubits)
 
     @pytest.mark.parametrize("seed", range(5))
     def test_physical_qubits_always_local(self, seed):
@@ -95,9 +95,9 @@ class TestPlanner:
         segs, restore = plan_segments(c, local_bits=10)
         total = 0
         for seg in segs:
-            for _, phys in seg.gates:
-                assert all(b < 10 for b in phys)
-                assert len(set(phys)) == len(phys)
+            for g in seg.gates:
+                assert all(b < 10 for b in g.qubits)
+                assert len(set(g.qubits)) == len(g.qubits)
             total += len(seg.gates)
         assert total == 150
 

@@ -16,66 +16,29 @@ from typing import Sequence
 from .circuit import Circuit
 
 
-def _multi_controlled_phase(
-    c: Circuit, controls: Sequence[int], target: int, theta: float
-) -> None:
-    """C^k P(theta): phase e^{i theta} iff all controls and the target are 1.
-
-    Ancilla-free textbook recursion:
-      C^k P(t) = CP(t/2)(c_k, target) . C^{k-1}X(c_1..c_{k-1} -> c_k)
-               . CP(-t/2)(c_k, target) . C^{k-1}X(...) .
-               . C^{k-1}P(t/2)(c_1..c_{k-1}, target)
-    with C^1X = cnot, C^2X = toffoli (deeper X-recursions are not needed for
-    the <= 4-qubit demo registers).
-    """
-    cs = list(controls)
-    if not cs:
-        c.p(target, theta)
-        return
-    if len(cs) == 1:
-        c.cp(cs[0], target, theta)
-        return
-    last = cs[-1]
-    rest = cs[:-1]
-    c.cp(last, target, theta / 2)
-    _multi_controlled_x(c, rest, last)
-    c.cp(last, target, -theta / 2)
-    _multi_controlled_x(c, rest, last)
-    _multi_controlled_phase(c, rest, target, theta / 2)
-
-
 def _multi_controlled_x(c: Circuit, controls: Sequence[int], target: int) -> None:
-    cs = list(controls)
-    if len(cs) == 1:
-        c.cnot(cs[0], target)
-    elif len(cs) == 2:
-        c.toffoli(cs[0], cs[1], target)
-    else:
-        raise ValueError("demo registers need at most 2-controlled X")
+    c.mcx(*controls, target)
 
 
 def _multi_controlled_z(c: Circuit, qubits: Sequence[int]) -> None:
-    """Phase-flip the all-ones state of ``qubits`` (any count the recursion
-    supports; 1..4 for these demos)."""
-    qs = list(qubits)
-    if len(qs) == 1:
-        c.z(qs[0])
-    elif len(qs) == 2:
-        c.cz(qs[0], qs[1])
-    else:
-        import math as _math
-
-        _multi_controlled_phase(c, qs[:-1], qs[-1], _math.pi)
+    """Phase-flip the all-ones state of ``qubits`` — a single diagonal MCZ
+    gate on every backend (see Circuit.mcz)."""
+    c.mcz(*qubits)
 
 
 def grover_circuit(num_qubits: int, marked: int, iterations: int | None = None) -> Circuit:
     """Grover search for basis state ``marked`` over ``num_qubits`` qubits.
 
     Oracle: phase-flip on |marked> (X-conjugated multi-controlled Z).
-    Diffusion: H^n . (phase flip on |0..0>) . H^n.
+    Diffusion: H^n . (phase flip on |0..0>) . H^n. The MCZ primitive is a
+    single diagonal gate, so circuits stay shallow at any register size
+    (the reference's Grover analog was impossible: no multi-controlled
+    gate beyond Toffoli).
     """
-    if not (2 <= num_qubits <= 4):
-        raise ValueError("grover demo supports 2..4 qubits")
+    from .gates import MAX_MCZ_QUBITS
+
+    if not (2 <= num_qubits <= MAX_MCZ_QUBITS):
+        raise ValueError(f"grover supports 2..{MAX_MCZ_QUBITS} qubits")
     if not (0 <= marked < (1 << num_qubits)):
         raise ValueError("marked state out of range")
     if iterations is None:

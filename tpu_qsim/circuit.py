@@ -202,6 +202,32 @@ class Circuit:
 
     ccx = toffoli  # alias, reference include/Circuit.hpp:112
 
+    def mcz(self, *qubits: int) -> "Circuit":
+        """Multi-controlled Z: phase -1 iff every qubit is |1>.
+
+        Symmetric in its qubits; applied as a single diagonal gate on every
+        backend (one masked multiply), up to 10 qubits. The reference had no
+        multi-controlled primitive beyond Toffoli."""
+        from .gates import multi_controlled_z_name
+
+        return self.add(multi_controlled_z_name(len(qubits)), *qubits)
+
+    def mcx(self, *qubits: int) -> "Circuit":
+        """Multi-controlled X: ``mcx(c1, ..., ck, target)``.
+
+        k <= 2 controls use the native cnot/toffoli; beyond that it is the
+        exact ancilla-free identity MCX = H(t) . MCZ(c..., t) . H(t), with
+        the MCZ a single diagonal gate (so an mcx costs ~2 H passes + one
+        multiply — no Barenco Toffoli ladder)."""
+        if len(qubits) < 2:
+            raise ValueError("mcx needs at least one control and a target")
+        *controls, target = qubits
+        if len(controls) == 1:
+            return self.cnot(controls[0], target)
+        if len(controls) == 2:
+            return self.toffoli(controls[0], controls[1], target)
+        return self.h(target).mcz(*controls, target).h(target)
+
 
 # ---------------------------------------------------------------------------
 # Factory circuits (reference src/Circuit.cpp:234-282)

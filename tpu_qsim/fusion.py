@@ -73,6 +73,23 @@ def expand_matrix(
     return np.ascontiguousarray(t.reshape(1 << k, 1 << k))
 
 
+def expand_diagonal(
+    gd: np.ndarray, gate_qubits: tuple[int, ...], group_qubits: tuple[int, ...]
+) -> np.ndarray:
+    """Embed a diagonal gate's diagonal into the ``group_qubits`` space
+    (both use the qubits[0]-is-MSB convention) without materializing dense
+    matrices: out[b] = gd[bits of b at the gate's qubit positions]."""
+    if tuple(gate_qubits) == tuple(group_qubits):
+        return gd
+    k = len(group_qubits)
+    idx = np.arange(1 << k)
+    b = np.zeros(1 << k, dtype=np.int64)
+    for q in gate_qubits:  # MSB first
+        pos = k - 1 - group_qubits.index(q)  # bit position of q in group index
+        b = (b << 1) | ((idx >> pos) & 1)
+    return gd[b]
+
+
 class _OpenGroup:
     __slots__ = ("qubits", "gates")
 
@@ -137,11 +154,21 @@ def plan_groups(circuit: Circuit, max_fused_qubits: int = 5) -> list[list[int]]:
 
 
 def compose_group(gates: list[Gate], qubits: tuple[int, ...]) -> np.ndarray:
-    """Product of the group's gates (program order) on ``qubits``."""
-    u = np.eye(1 << len(qubits), dtype=np.complex128)
+    """Product of the group's gates (program order) on ``qubits``.
+
+    All-diagonal groups compose elementwise on the diagonals (matters for
+    wide diagonal gates like mcz, where a dense matmul would be O(8^k))."""
+    if all(g.name in _gates.DIAGONAL_GATES for g in gates):
+        d = np.ones(1 << len(qubits), dtype=np.complex128)
+        for g in gates:
+            gd = np.diagonal(gate_matrix(g.name, g.param))
+            d = d * expand_diagonal(gd, g.qubits, qubits)
+        return np.diag(d)
+    u: np.ndarray | None = None
     for g in gates:
         gm = gate_matrix(g.name, g.param)
-        u = expand_matrix(gm, g.qubits, qubits) @ u
+        e = expand_matrix(gm, g.qubits, qubits)
+        u = e.astype(np.complex128, copy=True) if u is None else e @ u
     return u
 
 

@@ -133,6 +133,40 @@ def cp(lam: float) -> np.ndarray:
 
 TOFFOLI = controlled(CNOT)    # CCX on (c1, c2, t); reference src/Gates.cu:392-412
 
+# Multi-controlled Z: the TPU-native multi-controlled primitive. A C^{k-1}Z
+# is DIAGONAL (phase -1 on |1...1> only), which every backend applies as a
+# single masked multiply — no Toffoli-ladder decomposition, no ancillas.
+# MCX then costs H(t) . MCZ . H(t) (see Circuit.mcx). Capped at 10 qubits
+# because gate matrices are materialized dense (2^k x 2^k complex128).
+MAX_MCZ_QUBITS = 10
+
+
+def multi_controlled_z_name(k: int) -> str:
+    """Return (registering on first use) the gate name for a k-qubit MCZ."""
+    if k == 1:
+        return "z"
+    if k == 2:
+        return "cz"
+    if not (3 <= k <= MAX_MCZ_QUBITS):
+        raise ValueError(
+            f"mcz supports 1..{MAX_MCZ_QUBITS} qubits, got {k}"
+        )
+    name = f"mcz{k}"
+    if name not in GATE_ARITY:
+        d = np.ones(1 << k, dtype=np.complex128)
+        d[-1] = -1.0
+        mat = np.diag(d)
+        _FIXED[name] = mat
+        GATE_ARITY[name] = k
+        global DIAGONAL_GATES, GATE_NAMES
+        DIAGONAL_GATES = DIAGONAL_GATES | {name}
+        GATE_NAMES = frozenset(GATE_ARITY)
+        from . import circuit as _circuit_mod
+
+        _circuit_mod.GATE_ARITY = GATE_ARITY
+        _circuit_mod.GATE_NAMES = GATE_NAMES
+    return name
+
 
 # ---------------------------------------------------------------------------
 # Name -> matrix dispatch used by the circuit IR

@@ -71,9 +71,24 @@ def _xor_shift(x: jax.Array, qubit: int, n: int, interpret: bool) -> jax.Array:
             fwd = pltpu.roll(x, LANES - d, 1)
             bwd = pltpu.roll(x, d, 1)
         return jnp.where(bit0, fwd, bwd)
-    # row bit: expose it with a leading-dim reshape and flip
     rb = qubit - LANE_BITS                    # bit rb of the row index
     rows = x.shape[0]
+    if rb < 3:
+        # Sublane-regime row bits: the exposing reshape would put a 2 (or a
+        # <8 run) in the sublane tile position and relayout (measured ~4x
+        # cost). A full-axis roll + bit select is exact for XOR shifts
+        # (same identity as the lane path) and stays tile-dense.
+        d = 1 << rb
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        bit0 = (row & d) == 0
+        if interpret:
+            fwd = jnp.roll(x, -d, axis=0)
+            bwd = jnp.roll(x, d, axis=0)
+        else:
+            fwd = pltpu.roll(x, rows - d, 0)
+            bwd = pltpu.roll(x, d, 0)
+        return jnp.where(bit0, fwd, bwd)
+    # high row bit: expose it with a leading-dim reshape and flip
     a = rows >> (rb + 1)                      # high rows
     b = 1 << rb                               # low rows
     xr = x.reshape(a, 2, b * LANES)
@@ -118,6 +133,171 @@ def _coeff_array(
     return acc
 
 
+def _acc(
+    acc_r,
+    acc_i,
+    coeff: complex,
+    sr: jax.Array,
+    si: jax.Array,
+):
+    """acc += coeff * (sr + i*si), with zero/±1 coefficient elision."""
+    cr = float(np.real(coeff))
+    ci = float(np.imag(coeff))
+    if cr != 0.0:
+        tr = sr if cr == 1.0 else (-sr if cr == -1.0 else cr * sr)
+        ti = si if cr == 1.0 else (-si if cr == -1.0 else cr * si)
+        acc_r = tr if acc_r is None else acc_r + tr
+        acc_i = ti if acc_i is None else acc_i + ti
+    if ci != 0.0:
+        tr = -si if ci == 1.0 else (si if ci == -1.0 else -ci * si)
+        ti = sr if ci == 1.0 else (-sr if ci == -1.0 else ci * sr)
+        acc_r = tr if acc_r is None else acc_r + tr
+        acc_i = ti if acc_i is None else acc_i + ti
+    return acc_r, acc_i
+
+
+# Direct block arithmetic needs the exposed row bit to sit above the (8, 128)
+# tile: with bit rb exposed, the minor dims of each half/quadrant are
+# (2^rb_low, 128), which is tile-dense only for rb_low >= 3. Below that the
+# slices relayout (measured: q8/q9 gates cost ~4x q10+ on the reshape-stack
+# scheme for the same reason) and the XOR-shift scheme wins.
+_DIRECT_ROW_MIN = LANE_BITS + 3
+
+
+def _emit_1q_row(
+    xr: jax.Array, xi: jax.Array, u: np.ndarray, q: int
+) -> tuple[jax.Array, jax.Array]:
+    """1q gate on a high row bit as two half-plane updates:
+    y0 = u00 x0 + u01 x1 ; y1 = u10 x0 + u11 x1. ~6 VPU ops/element for a
+    real dense u vs ~15 for the XOR-shift scheme (the reference's analog is
+    the pair-update kernel, src/Gates.cu:31-104, one thread per pair)."""
+    rows = xr.shape[0]
+    rb = q - LANE_BITS
+    a = rows >> (rb + 1)
+    b = 1 << rb
+
+    def halves(x):
+        v = x.reshape(a, 2, b, LANES)
+        return v[:, 0], v[:, 1]
+
+    x0r, x1r = halves(xr)
+    x0i, x1i = halves(xi)
+    outs = []
+    for row in (0, 1):
+        accr, acci = _acc(None, None, u[row, 0], x0r, x0i)
+        accr, acci = _acc(accr, acci, u[row, 1], x1r, x1i)
+        outs.append((accr, acci))
+
+    def rejoin(y0, y1):
+        if y0 is None:
+            y0 = jnp.zeros_like(x0r)
+        if y1 is None:
+            y1 = jnp.zeros_like(x0r)
+        return jnp.stack([y0, y1], axis=1).reshape(rows, LANES)
+
+    return (
+        rejoin(outs[0][0], outs[1][0]),
+        rejoin(outs[0][1], outs[1][1]),
+    )
+
+
+def _emit_2q_row(
+    xr: jax.Array, xi: jax.Array, u: np.ndarray, qubits: tuple[int, ...]
+) -> tuple[jax.Array, jax.Array]:
+    """2q gate with both qubits on high row bits as four quadrant updates.
+    Zero matrix entries are elided, so permutation gates (CNOT/SWAP) reduce
+    to pure quadrant copies."""
+    qa, qb = qubits  # qa = matrix-index MSB
+    rows = xr.shape[0]
+    rhi = max(qa, qb) - LANE_BITS
+    rlo = min(qa, qb) - LANE_BITS
+    a = rows >> (rhi + 1)
+    b = 1 << (rhi - rlo - 1)
+    c = 1 << rlo
+
+    def quads(x):
+        v = x.reshape(a, 2, b, 2, c, LANES)
+        return [v[:, h, :, l] for h in (0, 1) for l in (0, 1)]
+
+    xq_r = quads(xr)
+    xq_i = quads(xi)
+
+    def m_of_k(k: int) -> int:
+        h, l = k >> 1, k & 1
+        return (h << 1 | l) if qa > qb else (l << 1 | h)
+
+    outs = []
+    for k_out in range(4):
+        mo = m_of_k(k_out)
+        accr = acci = None
+        for k_in in range(4):
+            coeff = u[mo, m_of_k(k_in)]
+            if coeff == 0:
+                continue
+            accr, acci = _acc(accr, acci, coeff, xq_r[k_in], xq_i[k_in])
+        outs.append((accr, acci))
+
+    def rejoin(plane: int):
+        qs = [
+            outs[k][plane]
+            if outs[k][plane] is not None
+            else jnp.zeros_like(xq_r[0])
+            for k in range(4)
+        ]
+        low0 = jnp.stack([qs[0], qs[1]], axis=2)  # (a, b, 2, c, LANES)
+        low1 = jnp.stack([qs[2], qs[3]], axis=2)
+        return jnp.stack([low0, low1], axis=1).reshape(rows, LANES)
+
+    return rejoin(0), rejoin(1)
+
+
+def _emit_lane_window(
+    xr: jax.Array,
+    xi: jax.Array,
+    wr: jax.Array,
+    wi: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """A fused run of gates on lane qubits (0..6) as one (R,128)@(128,128)
+    MXU contraction: y = x @ U^T (U composed on the host in complex128;
+    ``wr``/``wi`` are the pre-transposed planes, read from the kernel's
+    constant-table input).
+
+    This is the TPU replacement for the reference's shared-memory tiled
+    kernels (src/OptimizedGates.cu:41-114): the whole run costs one matmul
+    regardless of how many gates it absorbed. Complex U uses the 3-multiply
+    (Karatsuba) form.
+    """
+    dot = lambda x, w: jnp.dot(  # noqa: E731
+        x,
+        w,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if wi is None:
+        return dot(xr, wr), dot(xi, wr)
+    t1 = dot(xr, wr)
+    t2 = dot(xi, wi)
+    t3 = dot(xr + xi, wr + wi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _is_diagonal(u: np.ndarray) -> bool:
+    return not np.any(u - np.diag(np.diagonal(u)))
+
+
+def _controlled_split(u: np.ndarray) -> np.ndarray | None:
+    """If u = block-diag(I, V) w.r.t. its MSB qubit (the library layout of
+    cnot/cz/cry/crz/cp/toffoli), return V, else None."""
+    d = u.shape[0] >> 1
+    if (
+        not np.any(u[:d, d:])
+        and not np.any(u[d:, :d])
+        and not np.any(u[:d, :d] - np.eye(d))
+    ):
+        return np.ascontiguousarray(u[d:, d:])
+    return None
+
+
 def _emit_gate(
     xr: jax.Array,
     xi: jax.Array,
@@ -126,13 +306,31 @@ def _emit_gate(
     n: int,
     interpret: bool,
 ) -> tuple[jax.Array, jax.Array]:
-    """Emit one k-qubit gate as XOR-shift variants. ``qubits[0]`` = matrix
-    MSB (library convention).
+    """Emit one k-qubit gate, picking the cheapest scheme. ``qubits[0]`` =
+    matrix MSB (library convention).
 
-    (A direct block-arithmetic variant for row-bit-only gates was measured
-    and reverted: Mosaic relayouts on the stacked sub-blocks cost more than
-    the mask/where scheme it replaced.)
+    * diagonal -> single coefficient multiply (XOR-shift degenerate case);
+    * 1q / 2q on high row bits -> direct half-plane / quadrant arithmetic;
+    * everything else (lane qubits, low row bits, mixed) -> XOR-shift
+      variants.
     """
+    k = len(qubits)
+    if not _is_diagonal(u):
+        if k == 1 and qubits[0] >= _DIRECT_ROW_MIN:
+            return _emit_1q_row(xr, xi, u, qubits[0])
+        if k == 2 and min(qubits) >= _DIRECT_ROW_MIN:
+            return _emit_2q_row(xr, xi, u, qubits)
+        if k >= 2:
+            v = _controlled_split(u)
+            if v is not None:
+                # controlled-U as select-of-recursion: emit V on the
+                # remaining qubits, keep the control=0 half untouched.
+                # Collapses cross-axis cnot/toffoli/cry from the full
+                # XOR-shift variant expansion (~15 VPU ops/element) to
+                # one sub-gate + one select (~5).
+                yr, yi = _emit_gate(xr, xi, v, qubits[1:], n, interpret)
+                ctrl = _bit_mask(xr.shape, qubits[0])
+                return jnp.where(ctrl, yr, xr), jnp.where(ctrl, yi, xi)
     return _emit_gate_generic(xr, xi, u, qubits, n, interpret)
 
 
@@ -151,10 +349,11 @@ def _emit_gate_generic(
 
     acc_r = None
     acc_i = None
+    basis = np.arange(dim)
     for v in range(dim):
         # C_v[b] = U[b, b ^ v] for each assignment b of the gate qubits
-        col = np.array([u[b, b ^ v] for b in range(dim)])
-        if np.all(col == 0):
+        col = u[basis, basis ^ v]
+        if not np.any(col):
             continue
         # shift x by v across the gate qubits (qubit j holds bit k-1-j of v)
         sr, si = xr, xi
@@ -178,6 +377,155 @@ def _emit_gate_generic(
     return acc_r, acc_i
 
 
+# Minimum gates in a lane window before the MXU matmul form pays for itself
+# vs emitting each gate as XOR-shift VPU ops (measured breakeven; a real-U
+# window matmul costs ~1.5-2 lane gates, complex ~2.5).
+LANE_WINDOW_MIN = 3
+
+_LANE_GROUP = (6, 5, 4, 3, 2, 1, 0)  # 7-qubit lane space, MSB-first
+
+
+def _plan_emission(gates) -> list[tuple[str, object]]:
+    """Reorder commuting gates to batch lane-qubit gates into windows.
+
+    Returns emission items ``("window", [Gate...])`` (all qubits < 7) and
+    ``("gate", Gate)``, in an order equivalent to program order under the
+    conservative commutation rule of :mod:`tpu_qsim.commute`. Frontier
+    scheduling: whenever any lane gate is ready, drain every ready lane gate
+    (draining can ready more) into one window.
+    """
+    from ..commute import FrontierScheduler
+
+    sched = FrontierScheduler(list(gates))
+    items: list[tuple[str, object]] = []
+    while not sched.done():
+        lane_ready = [
+            i
+            for i in sched.ready()
+            if all(q < LANE_BITS for q in sched.gates[i].qubits)
+        ]
+        if lane_ready:
+            window = []
+            while lane_ready:
+                i = lane_ready[0]
+                sched.emit(i)
+                window.append(sched.gates[i])
+                lane_ready = [
+                    j
+                    for j in sched.ready()
+                    if all(q < LANE_BITS for q in sched.gates[j].qubits)
+                ]
+            items.append(("window", window))
+        else:
+            i = sched.ready()[0]
+            sched.emit(i)
+            items.append(("gate", sched.gates[i]))
+    return items
+
+
+def _compose_lane_window(gates) -> np.ndarray:
+    """Compose a lane-window gate run into one 128x128 complex128 unitary
+    over the 7 lane qubits (basis index == lane index)."""
+    from ..fusion import expand_matrix
+
+    u = np.eye(LANES, dtype=np.complex128)
+    for g in gates:
+        gm = gate_matrix(g.name, g.param)
+        u = expand_matrix(gm, g.qubits, _LANE_GROUP) @ u
+    return u
+
+
+def _emit_lane_diag(
+    xr: jax.Array,
+    xi: jax.Array,
+    wr: jax.Array,
+    wi: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """Composed diagonal lane window: one broadcast multiply with a (1, 128)
+    constant-table row (the degenerate, free-est case of the window scheme)."""
+    if wi is None:
+        return xr * wr, xi * wr
+    return xr * wr - xi * wi, xi * wr + xr * wi
+
+
+def materialize_ops(gates, rdtype=np.float32) -> tuple[list[tuple], np.ndarray | None]:
+    """Plan + constant-fold a gate list into kernel emission ops.
+
+    Returns ``(ops, const_table)``. Ops: ``("gate", u_c128, qubits)`` |
+    ``("mm", row_off_r, row_off_i_or_None)`` | ``("diag", row_off_r,
+    row_off_i_or_None)`` where row offsets index the (K, 128) float32
+    ``const_table`` (``None`` when no op needs constants). Pallas kernels
+    cannot capture array constants, so window matrices/diagonals travel as
+    one extra kernel input. Shared by the whole-circuit kernel and each
+    segment kernel.
+    """
+    ops: list[tuple] = []
+    rows: list[np.ndarray] = []
+    offset = 0
+
+    def push(arr: np.ndarray) -> int:
+        nonlocal offset
+        rows.append(np.ascontiguousarray(arr.astype(rdtype)))
+        off = offset
+        offset += arr.shape[0]
+        return off
+
+    for kind, payload in _plan_emission(gates):
+        if kind == "gate":
+            g = payload
+            ops.append(
+                ("gate", gate_matrix(g.name, g.param).astype(np.complex128),
+                 g.qubits)
+            )
+            continue
+        window = payload
+        u = _compose_lane_window(window)
+        if _is_diagonal(u):
+            d = np.ascontiguousarray(np.diagonal(u))
+            if np.allclose(d, 1.0):
+                continue  # identity window
+            off_r = push(d.real.reshape(1, LANES))
+            off_i = (
+                push(d.imag.reshape(1, LANES)) if np.any(d.imag) else None
+            )
+            ops.append(("diag", off_r, off_i))
+        elif len(window) >= LANE_WINDOW_MIN:
+            off_r = push(u.real.T)
+            off_i = push(u.imag.T) if np.any(u.imag) else None
+            ops.append(("mm", off_r, off_i))
+        else:
+            for g in window:
+                ops.append(
+                    ("gate",
+                     gate_matrix(g.name, g.param).astype(np.complex128),
+                     g.qubits)
+                )
+    table = np.concatenate(rows, axis=0) if rows else None
+    return ops, table
+
+
+def emit_ops(
+    xr: jax.Array,
+    xi: jax.Array,
+    ops: list[tuple],
+    n: int,
+    interpret: bool,
+    const_ref=None,
+) -> tuple[jax.Array, jax.Array]:
+    for op in ops:
+        if op[0] == "gate":
+            xr, xi = _emit_gate(xr, xi, op[1], op[2], n, interpret)
+        elif op[0] == "mm":
+            wr = const_ref[op[1] : op[1] + LANES, :]
+            wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
+            xr, xi = _emit_lane_window(xr, xi, wr, wi)
+        else:
+            wr = const_ref[op[1] : op[1] + 1, :]
+            wi = None if op[2] is None else const_ref[op[2] : op[2] + 1, :]
+            xr, xi = _emit_lane_diag(xr, xi, wr, wi)
+    return xr, xi
+
+
 def build_pallas_run(
     circuit: Circuit,
     rdtype: np.dtype = np.float32,
@@ -197,23 +545,34 @@ def build_pallas_run(
             f"{HARD_MAX_PALLAS_QUBITS} qubits, got {n}"
         )
     rows = 1 << (n - LANE_BITS)
-    gate_list = [
-        (gate_matrix(g.name, g.param).astype(np.complex128), g.qubits)
-        for g in circuit.gates
-    ]
+    ops, const_table = materialize_ops(circuit.gates)
 
-    def kernel(in_ref, out_ref):
-        xr = in_ref[0]
-        xi = in_ref[1]
-        for u, qubits in gate_list:
-            xr, xi = _emit_gate(xr, xi, u, qubits, n, interpret)
-        out_ref[0] = xr
-        out_ref[1] = xi
+    if const_table is None:
+
+        def kernel(in_ref, out_ref):
+            xr, xi = emit_ops(in_ref[0], in_ref[1], ops, n, interpret)
+            out_ref[0] = xr
+            out_ref[1] = xi
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+
+        def kernel(in_ref, const_ref, out_ref):
+            xr, xi = emit_ops(
+                in_ref[0], in_ref[1], ops, n, interpret, const_ref
+            )
+            out_ref[0] = xr
+            out_ref[1] = xi
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
 
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((2, rows, LANES), np.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -226,7 +585,7 @@ def build_pallas_run(
     @jax.jit
     def run(state: jax.Array) -> jax.Array:
         x = state.reshape(2, rows, LANES)
-        y = call(x)
+        y = call(x) if const_table is None else call(x, const_table)
         return y.reshape(2, 1 << n)
 
     return run

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import apply as ap
 from ..circuit import Circuit
 from ..schedule import plan_segments
-from .fused_circuit import LANE_BITS, _emit_gate
+from .fused_circuit import LANE_BITS, emit_ops, materialize_ops
 
 # Block size chosen for Mosaic compile time (grid kernels compile with
 # per-block shapes; 2^16-amplitude blocks keep segment compiles ~tens of
@@ -36,7 +36,7 @@ SWAP_HEADROOM = 10  # planner needs local_bits - SWAP_MIN >= 3 victim slots
 
 
 def _build_segment_kernel(
-    gates: list[tuple[np.ndarray, tuple[int, ...]]],
+    gates: list,
     n: int,
     local_bits: int,
     interpret: bool,
@@ -44,25 +44,47 @@ def _build_segment_kernel(
     rows_total = 1 << (n - LANE_BITS)
     rows_block = 1 << (local_bits - LANE_BITS)
     grid = 1 << (n - local_bits)
-
-    def kernel(in_ref, out_ref):
-        xr = in_ref[0]
-        xi = in_ref[1]
-        for u, qubits in gates:
-            xr, xi = _emit_gate(xr, xi, u, qubits, local_bits, interpret)
-        out_ref[0] = xr
-        out_ref[1] = xi
+    ops, const_table = materialize_ops(gates)
 
     spec = pl.BlockSpec(
         (2, rows_block, 128),
         lambda i: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
+    if const_table is None:
+
+        def kernel(in_ref, out_ref):
+            xr, xi = emit_ops(
+                in_ref[0], in_ref[1], ops, local_bits, interpret
+            )
+            out_ref[0] = xr
+            out_ref[1] = xi
+
+        in_specs = [spec]
+    else:
+
+        def kernel(in_ref, const_ref, out_ref):
+            xr, xi = emit_ops(
+                in_ref[0], in_ref[1], ops, local_bits, interpret, const_ref
+            )
+            out_ref[0] = xr
+            out_ref[1] = xi
+
+        # constants: same full table every grid step (stays VMEM-resident)
+        in_specs = [
+            spec,
+            pl.BlockSpec(
+                const_table.shape,
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+
     call = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=jax.ShapeDtypeStruct((2, rows_total, 128), np.float32),
-        in_specs=[spec],
+        in_specs=in_specs,
         out_specs=spec,
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -70,7 +92,8 @@ def _build_segment_kernel(
 
     def run(state: jax.Array) -> jax.Array:
         x = state.reshape(2, rows_total, 128)
-        return call(x).reshape(2, 1 << n)
+        y = call(x) if const_table is None else call(x, const_table)
+        return y.reshape(2, 1 << n)
 
     return run
 

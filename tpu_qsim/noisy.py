@@ -288,11 +288,19 @@ class BatchedSimulator(BaseSimulator):
         samples = np.asarray(self.sample(shots, key)).ravel()
         return counts_to_histogram(samples, self.dim)
 
-    def measure_qubit(self, qubit: int, key: jax.Array | None = None):
-        raise NotImplementedError(
-            "per-trajectory measurement: use trajectory_probabilities() or "
-            "sample(); collapse-measurement on a batch is ambiguous"
-        )
+    def measure_qubit(self, qubit: int, key: jax.Array | None = None) -> np.ndarray:
+        """Per-trajectory projective measurement with collapse.
+
+        Every trajectory draws its own Born-rule outcome and collapses
+        independently (one vmapped measure-and-collapse); returns the
+        (batch,) int32 outcome vector. The uniform ``measureQubit`` surface
+        the reference exposed on every simulator (include/NoiseModel.cuh:
+        139-297) — its BatchedSimulator never implemented it.
+        """
+        self._check_qubit(qubit)
+        keys = jax.random.split(self._next_key(key), self.batch_size)
+        outcomes, self._states = _batch_measure_jit(self._states, keys, qubit)
+        return np.asarray(outcomes)
 
     def qubit_probability(self, qubit: int) -> float:
         self._check_qubit(qubit)
@@ -369,6 +377,17 @@ class BatchedSimulator(BaseSimulator):
 @jax.jit
 def _batch_probs_jit(states: jax.Array) -> jax.Array:
     return states[:, 0] * states[:, 0] + states[:, 1] * states[:, 1]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _batch_measure_jit(
+    states: jax.Array, keys: jax.Array, qubit: int
+) -> tuple[jax.Array, jax.Array]:
+    from .base import _measure_and_collapse
+
+    return jax.vmap(lambda s, k: _measure_and_collapse(s, k, qubit))(
+        states, keys
+    )
 
 
 @jax.jit

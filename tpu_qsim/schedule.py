@@ -22,11 +22,11 @@ the in-kernel lane shuffles are always available.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
-from .circuit import Circuit
+from .circuit import Circuit, Gate
 from .gates import gate_matrix
 
 SWAP_MIN = 7  # lowest physical bit a permutation may touch
@@ -37,8 +37,8 @@ class Segment:
     """One kernel launch: optional relabeling, then block-local gates."""
 
     perm_src: tuple[int, ...] | None          # new bit i = old bit src[i]
-    gates: list[tuple[np.ndarray, tuple[int, ...]]] = field(default_factory=list)
-    # gate = (complex matrix, PHYSICAL qubit tuple, all < local_bits)
+    gates: list[Gate] = field(default_factory=list)
+    # gates carry PHYSICAL qubit tuples (all < local_bits)
 
 
 class _Placement:
@@ -57,12 +57,23 @@ class _Placement:
 def plan_segments(
     circuit: Circuit, local_bits: int, swap_min: int = SWAP_MIN
 ) -> tuple[list[Segment], tuple[int, ...]]:
-    """Greedy segmentation with qubit relocation.
+    """Segmentation with qubit relocation and commuting lookahead.
+
+    Frontier scheduling over the commutation DAG (:mod:`tpu_qsim.commute`):
+    a segment keeps absorbing whichever *ready* gate introduces the fewest
+    new nonlocal qubits and still fits the victim-slot budget — commuting
+    gates on already-local qubits are pulled forward past gates that would
+    force a relocation. A segment closes only when no ready gate fits, so
+    random circuits need markedly fewer HBM sweeps than strictly sequential
+    packing (each segment is 2 full-state HBM passes; each relocation
+    permutation 2 more).
 
     Returns (segments, restore_src): run the segments in order (each segment
     may carry a pre-permutation), then apply ``permute_qubits(state,
     restore_src)`` to return to the canonical qubit q = bit q placement.
     """
+    from .commute import FrontierScheduler
+
     n = circuit.num_qubits
     if local_bits >= n:
         raise ValueError("use the whole-circuit kernel when the state fits")
@@ -74,17 +85,24 @@ def plan_segments(
     pending: list = []            # gates accepted for the current segment
     seg_qubits: set[int] = set()  # logical qubits used by the current segment
 
-    def victim_slots() -> int:
-        """Physical bits in [swap_min, local_bits) holding qubits the
-        current segment does not use — available to host relocated qubits."""
+    def new_nonlocal(qubits: tuple[int, ...]) -> int:
         return sum(
             1
-            for b in range(swap_min, local_bits)
-            if place.at[b] not in seg_qubits
+            for q in set(qubits) - seg_qubits
+            if place.pos[q] >= local_bits
         )
 
-    def nonlocal_count(qubits: set[int]) -> int:
-        return sum(1 for q in qubits if place.pos[q] >= local_bits)
+    def fits(qubits: tuple[int, ...]) -> bool:
+        new_qubits = seg_qubits | set(qubits)
+        free = sum(
+            1
+            for b in range(swap_min, local_bits)
+            if place.at[b] not in new_qubits
+        )
+        nonlocal_total = sum(
+            1 for q in new_qubits if place.pos[q] >= local_bits
+        )
+        return nonlocal_total <= free
 
     def flush() -> None:
         nonlocal pending, seg_qubits
@@ -110,30 +128,35 @@ def plan_segments(
                 place.swap_bits(v, p)
             src = tuple(mapping)
         gates = [
-            (gate_matrix(g.name, g.param),
-             tuple(place.pos[q] for q in g.qubits))
+            replace(g, qubits=tuple(place.pos[q] for q in g.qubits))
             for g in pending
         ]
-        for _, phys in gates:
-            assert all(b < local_bits for b in phys)
+        for g in gates:
+            assert all(b < local_bits for b in g.qubits)
         segments.append(Segment(src, gates))
         pending = []
         seg_qubits = set()
 
-    for g in circuit.gates:
-        new_qubits = seg_qubits | set(g.qubits)
-        # feasibility: every nonlocal qubit of the would-be segment needs a
-        # victim slot; victims shrink as the segment claims more qubits.
-        free = sum(
-            1
-            for b in range(swap_min, local_bits)
-            if place.at[b] not in new_qubits
-        )
-        if nonlocal_count(new_qubits) > free:
+    sched = FrontierScheduler(circuit.gates)
+    while not sched.done():
+        best = None
+        best_cost = None
+        for i in sched.ready():
+            g = sched.gates[i]
+            if not fits(g.qubits):
+                continue
+            cost = new_nonlocal(g.qubits)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = i, cost
+                if cost == 0:
+                    break  # can't do better; earliest 0-cost gate wins
+        if best is None:
             flush()
-            new_qubits = set(g.qubits)
+            continue
+        g = sched.gates[best]
+        sched.emit(best)
         pending.append(g)
-        seg_qubits = new_qubits
+        seg_qubits |= set(g.qubits)
     flush()
 
     restore = tuple(place.pos)  # new bit i = old bit pos[i] -> canonical
