@@ -21,7 +21,7 @@ import numpy as np
 
 def main() -> int:
     ap_ = argparse.ArgumentParser()
-    ap_.add_argument("--sizes", default="10,14,18,20,22,24")
+    ap_.add_argument("--sizes", default="10,14,18,20,22,24,26")
     ap_.add_argument("--gates", type=int, default=100)
     ap_.add_argument("--cpu-max", type=int, default=16)
     args = ap_.parse_args()
@@ -45,9 +45,10 @@ def main() -> int:
         init_ms = (time.perf_counter() - t0) * 1e3
 
         c = q.random_circuit(n, args.gates, seed=42)
-        backend = "pallas" if 10 <= n <= 20 else "xla-fused"
+        # production auto-dispatch: whole-circuit Pallas <= 17q, segmented
+        # grid kernel to 26q, fused-XLA fallback (e.g. off-TPU)
         try:
-            runner = build_circuit_runner(c, backend)
+            runner = build_circuit_runner(c, "dispatch")
             sec = time_chained(runner, x, reps=10)
         except Exception:
             runner = build_circuit_runner(c, "xla-fused")

@@ -55,6 +55,22 @@ def build_circuit_runner(circuit, backend: str):
         from tpu_qsim.kernels.fused_circuit import build_pallas_run
 
         return build_pallas_run(circuit, np.float32)
+    if backend == "segmented":
+        from tpu_qsim.kernels.segmented import build_segmented_run
+
+        return build_segmented_run(circuit, np.float32)
+    if backend == "dispatch":
+        # production auto-dispatch: whole-circuit VMEM kernel, segmented
+        # grid kernel, or fused-XLA by size/config
+        from tpu_qsim.config import SimConfig
+        from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
+
+        fn = maybe_build_pallas_circuit_run(
+            circuit, np.float32, SimConfig(dtype="complex64")
+        )
+        if fn is not None:
+            return fn
+        backend = "xla-fused"
     from tpu_qsim.fusion import fuse_circuit, unfused_circuit
     from tpu_qsim.statevector import build_xla_run_fn
 

@@ -147,3 +147,42 @@ class TestComplex64Path:
         cfg = SimConfig(dtype="complex64", use_pallas=False)
         a, b = both(ghz_circuit(10), config=cfg)
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestOracleFastPath:
+    """The large-n reshape-view oracle path must agree exactly with the
+    canonical pair-index gather path (they share only the gate matrices)."""
+
+    def test_fast_vs_gather_18q(self):
+        import tpu_qsim.cpu_reference as cr
+        from tpu_qsim import random_circuit
+
+        c = random_circuit(18, 60, seed=13)
+        fast = cr.CPUReferenceSimulator(18)
+        fast.run(c)  # n >= _FAST_PATH_MIN_QUBITS -> fast path
+        old = cr._FAST_PATH_MIN_QUBITS
+        cr._FAST_PATH_MIN_QUBITS = 99
+        try:
+            slow = cr.CPUReferenceSimulator(18)
+            slow.run(c)
+        finally:
+            cr._FAST_PATH_MIN_QUBITS = old
+        np.testing.assert_allclose(fast.state, slow.state, atol=1e-13)
+
+    def test_fast_path_2q_orderings(self):
+        # cry/cnot with control above and below target, plus swap
+        import tpu_qsim.cpu_reference as cr
+        from tpu_qsim import Circuit
+
+        c = (Circuit(18).h(17).h(3).cnot(17, 2).cnot(2, 17).cry(16, 1, 0.7)
+             .cry(1, 16, 1.1).swap(0, 17).cz(15, 4).rz(17, 0.3).x(16))
+        fast = cr.CPUReferenceSimulator(18)
+        fast.run(c)
+        old = cr._FAST_PATH_MIN_QUBITS
+        cr._FAST_PATH_MIN_QUBITS = 99
+        try:
+            slow = cr.CPUReferenceSimulator(18)
+            slow.run(c)
+        finally:
+            cr._FAST_PATH_MIN_QUBITS = old
+        np.testing.assert_allclose(fast.state, slow.state, atol=1e-13)

