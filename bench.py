@@ -101,7 +101,7 @@ def _bench_row(n: int) -> dict:
     from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
 
     circuit = q.random_circuit(n, NUM_GATES, seed=42)
-    backend = "pallas" if n <= 17 else "segmented"
+    backend = "pallas" if n <= 18 else "segmented"
     inner = None
     try:
         inner = maybe_build_pallas_circuit_run(

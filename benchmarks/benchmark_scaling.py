@@ -45,7 +45,7 @@ def main() -> int:
         init_ms = (time.perf_counter() - t0) * 1e3
 
         c = q.random_circuit(n, args.gates, seed=42)
-        # production auto-dispatch: whole-circuit Pallas <= 17q, segmented
+        # production auto-dispatch: whole-circuit Pallas <= 18q, segmented
         # grid kernel to 26q, fused-XLA fallback (e.g. off-TPU)
         try:
             runner = build_circuit_runner(c, "dispatch")

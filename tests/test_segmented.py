@@ -119,6 +119,34 @@ class TestSegmentedExecution:
         ora.run(c)
         np.testing.assert_allclose(out, ora.get_state(), atol=5e-5)
 
+    @pytest.mark.parametrize("seed", range(3))
+    def test_gather_fold_vs_oracle(self, seed):
+        # local_bits=13 activates the production gather path (relocations
+        # folded into the input index map, chunks >= 8 rows) at test size
+        n = 15
+        c = random_circuit(n, 60, seed=seed)
+        fn = build_segmented_run(c, np.float32, local_bits=13, interpret=True)
+        out = ap.to_complex(fn(ap.initial_state(n, np.float32)))
+        ora = CPUReferenceSimulator(n)
+        ora.run(c)
+        np.testing.assert_allclose(out, ora.get_state(), atol=5e-5)
+
+    def test_gather_fold_is_used(self):
+        # the planner with the gather victim zone must produce relocations
+        # whose chunk budget clears the tile floor (i.e. the fold engages)
+        from tpu_qsim.kernels.segmented import (
+            GATHER_SWAP_MIN,
+            MIN_GATHER_CHUNK_BITS,
+            _gather_chunk_bits,
+        )
+
+        c = random_circuit(15, 120, seed=1)
+        segs, _ = plan_segments(c, 13, swap_min=GATHER_SWAP_MIN)
+        relocs = [s.perm_src for s in segs if s.perm_src is not None]
+        assert relocs, "expected at least one relocation at 15q/l13"
+        for src in relocs:
+            assert _gather_chunk_bits(src, 13) >= MIN_GATHER_CHUNK_BITS
+
     def test_ghz_spanning_all_bits(self):
         n = 13
         c = ghz_circuit(n)

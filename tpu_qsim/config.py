@@ -46,7 +46,7 @@ class SimConfig:
     # the segmented grid path takes over. The default is set by Mosaic
     # compile time (not VMEM) — raise it if minutes-long one-time compiles
     # are acceptable for your circuit shapes (they cache persistently).
-    pallas_whole_circuit_max: int = 17
+    pallas_whole_circuit_max: int = 18
     donate_state: bool = True
 
     @property

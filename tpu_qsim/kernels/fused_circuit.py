@@ -47,11 +47,12 @@ LANE_BITS = 7          # qubits 0..6 live on the 128-lane axis
 LANES = 1 << LANE_BITS
 
 # Ceiling set by Mosaic compile time, not VMEM: kernel compile scales
-# superlinearly with the per-op tile count (measured: 12q 1.5s, 16q 26s,
-# 19q >17min through the remote compiler). 17q keeps compiles in the tens
-# of seconds; larger states route through the segmented grid path, whose
-# per-block shapes stay in this regime regardless of n.
-MAX_PALLAS_QUBITS = 17              # default policy ceiling (compile time)
+# superlinearly with the per-op tile count (round-1 generic emission:
+# 12q 1.5s, 16q 26s, 19q >17min through the remote compiler; the v2
+# window/half-plane emission compiles 18q in ~22s and runs 20% faster than
+# the segmented path there). Larger states route through the segmented grid
+# path, whose per-block shapes stay in this regime regardless of n.
+MAX_PALLAS_QUBITS = 18              # default policy ceiling (compile time)
 HARD_MAX_PALLAS_QUBITS = 20         # VMEM bound: beyond this compiles OOM
 MIN_PALLAS_QUBITS = LANE_BITS + 3   # need a few row bits to be worthwhile
 
@@ -162,6 +163,11 @@ def _acc(
 # slices relayout (measured: q8/q9 gates cost ~4x q10+ on the reshape-stack
 # scheme for the same reason) and the XOR-shift scheme wins.
 _DIRECT_ROW_MIN = LANE_BITS + 3
+
+_SWAP_U = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+    dtype=np.complex128,
+)
 
 
 def _emit_1q_row(
@@ -320,6 +326,14 @@ def _emit_gate(
             return _emit_1q_row(xr, xi, u, qubits[0])
         if k == 2 and min(qubits) >= _DIRECT_ROW_MIN:
             return _emit_2q_row(xr, xi, u, qubits)
+        if k == 2 and not np.any(u - _SWAP_U):
+            # SWAP as exchange-of-shifts: y = x[i^a^b] where the two bits
+            # differ (2 shifts + 1 select vs 3 variant terms)
+            qa, qb = qubits
+            sr = _xor_shift(_xor_shift(xr, qa, n, interpret), qb, n, interpret)
+            si = _xor_shift(_xor_shift(xi, qa, n, interpret), qb, n, interpret)
+            differ = _bit_mask(xr.shape, qa) != _bit_mask(xr.shape, qb)
+            return jnp.where(differ, sr, xr), jnp.where(differ, si, xi)
         if k >= 2:
             v = _controlled_split(u)
             if v is not None:
@@ -377,62 +391,114 @@ def _emit_gate_generic(
     return acc_r, acc_i
 
 
-# Minimum gates in a lane window before the MXU matmul form pays for itself
-# vs emitting each gate as XOR-shift VPU ops (measured breakeven; a real-U
-# window matmul costs ~1.5-2 lane gates, complex ~2.5).
+# Minimum gates in a window before the MXU matmul form pays for itself vs
+# emitting each gate as VPU ops (measured breakeven; a real-U 128-window
+# matmul costs ~1.5-2 lane gates, complex ~2.5; row-axis windows pay an
+# extra per-slab loop, so their floor is higher).
 LANE_WINDOW_MIN = 3
+ROW_WINDOW_MIN = 4
 
-_LANE_GROUP = (6, 5, 4, 3, 2, 1, 0)  # 7-qubit lane space, MSB-first
+_LANE_GROUP = (6, 5, 4, 3, 2, 1, 0)       # 7-qubit lane space, MSB-first
+ROW_AXIS_BITS = LANE_BITS + 7              # qubits 7..13: the row-matmul axis
+_ROW_GROUP = tuple(range(ROW_AXIS_BITS - 1, LANE_BITS - 1, -1))  # (13..7)
 
 
-def _plan_emission(gates) -> list[tuple[str, object]]:
-    """Reorder commuting gates to batch lane-qubit gates into windows.
+def _window_class(gate, n_bits: int) -> str | None:
+    if all(q < LANE_BITS for q in gate.qubits):
+        return "lane"
+    if n_bits >= ROW_AXIS_BITS and all(
+        LANE_BITS <= q < ROW_AXIS_BITS for q in gate.qubits
+    ):
+        return "rowb"
+    return None
 
-    Returns emission items ``("window", [Gate...])`` (all qubits < 7) and
-    ``("gate", Gate)``, in an order equivalent to program order under the
-    conservative commutation rule of :mod:`tpu_qsim.commute`. Frontier
-    scheduling: whenever any lane gate is ready, drain every ready lane gate
-    (draining can ready more) into one window.
+
+def _plan_emission(gates, n_bits: int) -> list[tuple[str, object]]:
+    """Reorder commuting gates to batch same-axis gates into matmul windows.
+
+    Returns emission items ``("lane", [Gate...])`` (all qubits < 7),
+    ``("rowb", [Gate...])`` (all qubits in 7..13, when the state exposes a
+    full 128-row axis), and ``("gate", Gate)``, in an order equivalent to
+    program order under the conservative commutation rule of
+    :mod:`tpu_qsim.commute`. Frontier scheduling: whenever any window-class
+    gate is ready, drain every ready gate of that class (draining can ready
+    more) into one window.
     """
     from ..commute import FrontierScheduler
 
     sched = FrontierScheduler(list(gates))
     items: list[tuple[str, object]] = []
     while not sched.done():
-        lane_ready = [
-            i
-            for i in sched.ready()
-            if all(q < LANE_BITS for q in sched.gates[i].qubits)
-        ]
-        if lane_ready:
-            window = []
-            while lane_ready:
-                i = lane_ready[0]
-                sched.emit(i)
-                window.append(sched.gates[i])
-                lane_ready = [
-                    j
-                    for j in sched.ready()
-                    if all(q < LANE_BITS for q in sched.gates[j].qubits)
-                ]
-            items.append(("window", window))
-        else:
-            i = sched.ready()[0]
+        ready = sched.ready()
+        cls = next(
+            (c for i in ready
+             if (c := _window_class(sched.gates[i], n_bits)) is not None),
+            None,
+        )
+        if cls is None:
+            i = ready[0]
             sched.emit(i)
             items.append(("gate", sched.gates[i]))
+            continue
+        window = []
+        while True:
+            nxt = [
+                i
+                for i in sched.ready()
+                if _window_class(sched.gates[i], n_bits) == cls
+            ]
+            if not nxt:
+                break
+            sched.emit(nxt[0])
+            window.append(sched.gates[nxt[0]])
+        items.append((cls, window))
     return items
 
 
-def _compose_lane_window(gates) -> np.ndarray:
-    """Compose a lane-window gate run into one 128x128 complex128 unitary
-    over the 7 lane qubits (basis index == lane index)."""
+def _compose_window(gates, group: tuple[int, ...]) -> np.ndarray:
+    """Compose a window gate run into one 128x128 complex128 unitary over
+    the 7-qubit ``group`` (basis index == axis index)."""
     from ..fusion import expand_matrix
 
     u = np.eye(LANES, dtype=np.complex128)
     for g in gates:
         gm = gate_matrix(g.name, g.param)
-        u = expand_matrix(gm, g.qubits, _LANE_GROUP) @ u
+        u = expand_matrix(gm, g.qubits, group) @ u
     return u
+
+
+def _emit_row_window(
+    xr: jax.Array,
+    xi: jax.Array,
+    wr: jax.Array,
+    wi: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """A fused run of gates on the row-axis qubits (7..13) as per-slab MXU
+    matmuls: view the (R, 128) plane as (A, 128, 128) slabs and compute
+    y[a] = U @ x[a] (U untransposed; rows of U index outputs). Same FLOPs as
+    a lane window plus an unrolled A-slab loop."""
+    rows = xr.shape[0]
+    a_cnt = rows // LANES
+
+    def bdot(w, x):
+        x3 = x.reshape(a_cnt, LANES, LANES)
+        ys = [
+            jnp.dot(
+                w,
+                x3[a],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for a in range(a_cnt)
+        ]
+        return jnp.stack(ys, axis=0).reshape(rows, LANES)
+
+    if wi is None:
+        return bdot(wr, xr), bdot(wr, xi)
+    t1 = bdot(wr, xr)
+    t2 = bdot(wi, xi)
+    t3 = bdot(wr + wi, xr + xi)
+    return t1 - t2, t3 - t1 - t2
 
 
 def _emit_lane_diag(
@@ -448,17 +514,25 @@ def _emit_lane_diag(
     return xr * wr - xi * wi, xi * wr + xr * wi
 
 
-def materialize_ops(gates, rdtype=np.float32) -> tuple[list[tuple], np.ndarray | None]:
+def materialize_ops(
+    gates, rdtype=np.float32, n_bits: int | None = None
+) -> tuple[list[tuple], np.ndarray | None]:
     """Plan + constant-fold a gate list into kernel emission ops.
 
-    Returns ``(ops, const_table)``. Ops: ``("gate", u_c128, qubits)`` |
-    ``("mm", row_off_r, row_off_i_or_None)`` | ``("diag", row_off_r,
-    row_off_i_or_None)`` where row offsets index the (K, 128) float32
-    ``const_table`` (``None`` when no op needs constants). Pallas kernels
-    cannot capture array constants, so window matrices/diagonals travel as
-    one extra kernel input. Shared by the whole-circuit kernel and each
-    segment kernel.
+    ``n_bits`` is the per-kernel-instance state width (local_bits for the
+    segmented path); it gates the row-axis window class. Returns
+    ``(ops, const_table)``. Ops: ``("gate", u_c128, qubits)`` |
+    ``("mm"|"mmb", row_off_r, row_off_i_or_None)`` (lane / row-axis matmul
+    windows) | ``("diag", row_off_r, row_off_i_or_None)`` where row offsets
+    index the (K, 128) float32 ``const_table`` (``None`` when no op needs
+    constants). Pallas kernels cannot capture array constants, so window
+    matrices/diagonals travel as one extra kernel input. Shared by the
+    whole-circuit kernel and each segment kernel.
     """
+    if n_bits is None:
+        n_bits = 1 + max(
+            (q for g in gates for q in g.qubits), default=LANE_BITS
+        )
     ops: list[tuple] = []
     rows: list[np.ndarray] = []
     offset = 0
@@ -470,36 +544,44 @@ def materialize_ops(gates, rdtype=np.float32) -> tuple[list[tuple], np.ndarray |
         offset += arr.shape[0]
         return off
 
-    for kind, payload in _plan_emission(gates):
-        if kind == "gate":
-            g = payload
+    def push_gates(window) -> None:
+        for g in window:
             ops.append(
                 ("gate", gate_matrix(g.name, g.param).astype(np.complex128),
                  g.qubits)
             )
+
+    for kind, payload in _plan_emission(gates, n_bits):
+        if kind == "gate":
+            push_gates([payload])
             continue
         window = payload
-        u = _compose_lane_window(window)
-        if _is_diagonal(u):
-            d = np.ascontiguousarray(np.diagonal(u))
-            if np.allclose(d, 1.0):
-                continue  # identity window
-            off_r = push(d.real.reshape(1, LANES))
-            off_i = (
-                push(d.imag.reshape(1, LANES)) if np.any(d.imag) else None
-            )
-            ops.append(("diag", off_r, off_i))
-        elif len(window) >= LANE_WINDOW_MIN:
-            off_r = push(u.real.T)
-            off_i = push(u.imag.T) if np.any(u.imag) else None
-            ops.append(("mm", off_r, off_i))
-        else:
-            for g in window:
-                ops.append(
-                    ("gate",
-                     gate_matrix(g.name, g.param).astype(np.complex128),
-                     g.qubits)
+        if kind == "lane":
+            u = _compose_window(window, _LANE_GROUP)
+            if _is_diagonal(u):
+                d = np.ascontiguousarray(np.diagonal(u))
+                if np.allclose(d, 1.0):
+                    continue  # identity window
+                off_r = push(d.real.reshape(1, LANES))
+                off_i = (
+                    push(d.imag.reshape(1, LANES)) if np.any(d.imag) else None
                 )
+                ops.append(("diag", off_r, off_i))
+            elif len(window) >= LANE_WINDOW_MIN:
+                off_r = push(u.real.T)
+                off_i = push(u.imag.T) if np.any(u.imag) else None
+                ops.append(("mm", off_r, off_i))
+            else:
+                push_gates(window)
+            continue
+        # row-axis window: y[slab] = U @ x[slab] over (A, 128, 128) slabs
+        u = _compose_window(window, _ROW_GROUP)
+        if len(window) >= ROW_WINDOW_MIN and not _is_diagonal(u):
+            off_r = push(u.real)
+            off_i = push(u.imag) if np.any(u.imag) else None
+            ops.append(("mmb", off_r, off_i))
+        else:
+            push_gates(window)
     table = np.concatenate(rows, axis=0) if rows else None
     return ops, table
 
@@ -519,6 +601,10 @@ def emit_ops(
             wr = const_ref[op[1] : op[1] + LANES, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
             xr, xi = _emit_lane_window(xr, xi, wr, wi)
+        elif op[0] == "mmb":
+            wr = const_ref[op[1] : op[1] + LANES, :]
+            wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
+            xr, xi = _emit_row_window(xr, xi, wr, wi)
         else:
             wr = const_ref[op[1] : op[1] + 1, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + 1, :]
@@ -545,7 +631,7 @@ def build_pallas_run(
             f"{HARD_MAX_PALLAS_QUBITS} qubits, got {n}"
         )
     rows = 1 << (n - LANE_BITS)
-    ops, const_table = materialize_ops(circuit.gates)
+    ops, const_table = materialize_ops(circuit.gates, n_bits=n)
 
     if const_table is None:
 
