@@ -364,7 +364,10 @@ def _emit_gate_generic(
     acc_r = None
     acc_i = None
     basis = np.arange(dim)
-    for v in range(dim):
+    # diagonal: only the v=0 variant survives — skip the 2^k column scan
+    # (matters for wide diagonal gates like a 10-qubit MCZ)
+    variants = (0,) if _is_diagonal(u) else range(dim)
+    for v in variants:
         # C_v[b] = U[b, b ^ v] for each assignment b of the gate qubits
         col = u[basis, basis ^ v]
         if not np.any(col):

@@ -345,15 +345,19 @@ def build_segmented_run(
             f"segmented path expects {SWAP_HEADROOM} <= local_bits < n <= "
             f"{MAX_SEGMENTED_QUBITS}, got local_bits={local_bits}, n={n}"
         )
-    # production blocks use the gather-friendly victim zone; tiny test
-    # blocks (local_bits < 13) fall back to the full zone + standalone
-    # permutes, since their gather chunks would be sub-tile
-    swap_min = (
-        GATHER_SWAP_MIN
-        if local_bits - GATHER_SWAP_MIN >= 3
-        else LANE_BITS
-    )
-    segments, restore = plan_segments(circuit, local_bits, swap_min=swap_min)
+    # Production blocks stage evictions into the top-4 row bits so gather
+    # chunks stay >= 32 rows (32 KB DMAs — measured at plain-read rate;
+    # 8-row chunks measured ~2x slower end-to-end). Tiny test blocks
+    # (local_bits < 13) fall back to standalone permutes.
+    if local_bits >= 13:
+        stage_min = max(GATHER_SWAP_MIN, local_bits - 4)
+        segments, restore = plan_segments(
+            circuit, local_bits, swap_min=LANE_BITS, stage_min=stage_min
+        )
+    else:
+        segments, restore = plan_segments(
+            circuit, local_bits, swap_min=LANE_BITS
+        )
     identity = tuple(range(n))
     # fold the restore into the last segment's output scatter when its
     # chunks clear the tile floor (always true in production: relocations

@@ -55,7 +55,10 @@ class _Placement:
 
 
 def plan_segments(
-    circuit: Circuit, local_bits: int, swap_min: int = SWAP_MIN
+    circuit: Circuit,
+    local_bits: int,
+    swap_min: int = SWAP_MIN,
+    stage_min: int | None = None,
 ) -> tuple[list[Segment], tuple[int, ...]]:
     """Segmentation with qubit relocation and commuting lookahead.
 
@@ -65,12 +68,21 @@ def plan_segments(
     gates on already-local qubits are pulled forward past gates that would
     force a relocation. A segment closes only when no ready gate fits, so
     random circuits need markedly fewer HBM sweeps than strictly sequential
-    packing (each segment is 2 full-state HBM passes; each relocation
-    permutation 2 more).
+    packing.
+
+    ``stage_min`` (executor contract for the gather fold): when set, every
+    relocation's row-side exchange touches only bits >= stage_min, so the
+    gathered chunks stay >= 2^(stage_min-7) contiguous rows — the DMA
+    granularity that streams at full rate. Victims whose free slot sits
+    below stage_min are *staged*: an in-VMEM SWAP pseudo-gate appended to
+    the previous segment hoists the evictee into the exchange zone first
+    (data movement inside VMEM, no extra HBM traffic). Incoming qubits per
+    segment are correspondingly capped at ``local_bits - stage_min``.
 
     Returns (segments, restore_src): run the segments in order (each segment
-    may carry a pre-permutation), then apply ``permute_qubits(state,
-    restore_src)`` to return to the canonical qubit q = bit q placement.
+    may carry a pre-relabeling in ``perm_src``), then apply
+    ``permute_qubits(state, restore_src)`` to return to the canonical
+    qubit q = bit q placement.
     """
     from .commute import FrontierScheduler
 
@@ -79,6 +91,11 @@ def plan_segments(
         raise ValueError("use the whole-circuit kernel when the state fits")
     if local_bits - swap_min < 3:
         raise ValueError("not enough swap slots between swap_min and local_bits")
+    if stage_min is not None and not (swap_min <= stage_min < local_bits):
+        raise ValueError("stage_min must lie in [swap_min, local_bits)")
+    max_incoming = (
+        local_bits - stage_min if stage_min is not None else local_bits
+    )
 
     place = _Placement(n)
     segments: list[Segment] = []
@@ -94,15 +111,22 @@ def plan_segments(
 
     def fits(qubits: tuple[int, ...]) -> bool:
         new_qubits = seg_qubits | set(qubits)
+        nonlocal_total = sum(
+            1 for q in new_qubits if place.pos[q] >= local_bits
+        )
+        if nonlocal_total == 0:
+            return True
+        if stage_min is not None and not segments:
+            # the first segment takes no relocations: staging swaps need a
+            # previous segment to ride in, and an unstaged relocation would
+            # force sub-zone exchange bits (tiny gather chunks)
+            return False
         free = sum(
             1
             for b in range(swap_min, local_bits)
             if place.at[b] not in new_qubits
         )
-        nonlocal_total = sum(
-            1 for q in new_qubits if place.pos[q] >= local_bits
-        )
-        return nonlocal_total <= free
+        return nonlocal_total <= min(free, max_incoming)
 
     def flush() -> None:
         nonlocal pending, seg_qubits
@@ -115,12 +139,40 @@ def plan_segments(
         )
         src: tuple[int, ...] | None = None
         if nonlocal_qs:
-            victims = [
+            free = [
                 b
                 for b in range(local_bits - 1, swap_min - 1, -1)
                 if place.at[b] not in seg_qubits
             ]
+            if stage_min is not None:
+                # prefer (a) slots already in the exchange zone and (b)
+                # evicting qubits whose canonical home is >= stage_min, so
+                # low-home qubits stay local and the final restore remains
+                # scatter-foldable
+                free.sort(
+                    key=lambda b: (b < stage_min, place.at[b] < stage_min, -b)
+                )
+            victims = free[: len(nonlocal_qs)]
             assert len(victims) >= len(nonlocal_qs), "planner slot accounting bug"
+            if stage_min is not None and segments:
+                # hoist sub-zone victims into [stage_min, local_bits) with
+                # in-VMEM swaps appended to the PREVIOUS segment (the zone
+                # slot's occupant is displaced downward but stays local)
+                zone_free = [
+                    b
+                    for b in range(local_bits - 1, stage_min - 1, -1)
+                    if b not in victims
+                ]
+                staged = []
+                for k, v in enumerate(victims):
+                    if v >= stage_min:
+                        continue
+                    t = zone_free.pop(0)
+                    segments[-1].gates.append(Gate("swap", (v, t)))
+                    place.swap_bits(v, t)
+                    victims[k] = t
+                    staged.append((v, t))
+                assert all(v >= stage_min for v in victims)
             mapping = list(range(n))  # new bit i <- old bit mapping[i]
             for q, v in zip(nonlocal_qs, victims):
                 p = place.pos[q]
@@ -158,6 +210,16 @@ def plan_segments(
         pending.append(g)
         seg_qubits |= set(g.qubits)
     flush()
+
+    if stage_min is not None and segments:
+        # normalize the sub-zone rows with in-VMEM swaps in the LAST segment
+        # so the final restore only moves bits >= stage_min (+ blocks) and
+        # stays scatter-foldable
+        for b in range(SWAP_MIN, stage_min):
+            p = place.pos[b]  # where canonical occupant of bit b sits now
+            if p != b and p < local_bits:
+                segments[-1].gates.append(Gate("swap", (p, b)))
+                place.swap_bits(p, b)
 
     restore = tuple(place.pos)  # new bit i = old bit pos[i] -> canonical
     identity = tuple(range(n))
