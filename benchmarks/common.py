@@ -15,7 +15,20 @@ import numpy as np
 
 
 def setup_jax():
+    import os
+
     import jax
+
+    # Honor JAX_PLATFORMS even when a sitecustomize registered a TPU plugin
+    # and force-set jax_platforms at interpreter startup (config wins over
+    # the env var, so reconcile config with the env before any backend
+    # initializes — e.g. smoke tests pin subprocesses to CPU this way).
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and str(jax.config.jax_platforms or "") != env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
