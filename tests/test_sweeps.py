@@ -1,0 +1,158 @@
+"""Part-map sweep executor (kernels/sweeps.py): planner invariants and
+interpret-mode correctness vs the complex128 oracle.
+
+Production geometry (32 parts, 512-row blocks) starts at 22 qubits — too
+large for CPU interpret — so these tests shrink the geometry
+(``SweepParams``): the planner/relabeling/ext-scalar logic is identical at
+every scale. The real-hardware analog of the reference's differential suite
+(reference tests/test_simulator.cu) runs via bench.py's per-size
+max-amp-err checks.
+"""
+
+import numpy as np
+import pytest
+
+import tpu_qsim as q
+import tpu_qsim.apply as ap
+from tpu_qsim.circuit import Circuit, Gate
+from tpu_qsim.gates import gate_matrix
+from tpu_qsim.kernels.sweeps import (
+    MAX_SWEEP_GATES,
+    SweepParams,
+    build_sweep_run,
+    moving_qubits,
+    plan_sweeps,
+)
+
+P = SweepParams(k_bits=2, rb_bits=2)  # blk_bits=9, 4 parts
+
+
+def oracle_state(circuit):
+    sim = q.CPUReferenceSimulator(circuit.num_qubits)
+    sim.run(circuit)
+    return sim.state
+
+
+def run_sweeps(circuit, params=P):
+    prog = build_sweep_run(circuit, np.float32, interpret=True, params=params)
+    x = ap.initial_state(circuit.num_qubits, np.float32)
+    return np.asarray(ap.to_complex(prog.run(x))), prog
+
+
+class TestMovingQubits:
+    def test_diagonal_moves_nothing(self):
+        for name, qubits, param in [
+            ("rz", (3,), 0.7), ("cz", (1, 5), None), ("cp", (2, 9), 0.3),
+        ]:
+            assert moving_qubits(gate_matrix(name, param), qubits) == frozenset()
+
+    def test_controlled_moves_target_only(self):
+        assert moving_qubits(gate_matrix("cnot"), (4, 9)) == {9}
+        assert moving_qubits(gate_matrix("toffoli"), (1, 2, 8)) == {8}
+        assert moving_qubits(gate_matrix("cry", 0.5), (3, 7)) == {7}
+
+    def test_dense_moves_all(self):
+        assert moving_qubits(gate_matrix("h"), (5,)) == {5}
+        assert moving_qubits(gate_matrix("swap"), (2, 8)) == {2, 8}
+
+
+class TestPlanner:
+    def test_moving_qubits_always_in_kernel(self):
+        c = q.random_circuit(13, 120, seed=11)
+        n = 13
+        top = set(range(n - P.k_bits, n))
+        lowmid = set(range(P.blk_bits, n - P.k_bits))
+        for s in plan_sweeps(c, n, P):
+            for g in s.gates:
+                mv = moving_qubits(gate_matrix(g.name, g.param), g.qubits)
+                if s.kind == "low":
+                    assert not (mv & top), (s.kind, g)
+                else:
+                    assert not (mv & lowmid), (s.kind, g)
+                    assert (mv & top) <= s.tops
+
+    def test_gate_order_preserved_per_dependency(self):
+        # planner output must contain every input gate exactly once
+        c = q.random_circuit(12, 80, seed=5)
+        plan = plan_sweeps(c, 12, P)
+        n_out = sum(len(s.gates) for s in plan)
+        n_swap = sum(1 for g in c.gates if g.name == "swap")
+        assert n_out >= len(c.gates)          # swaps may expand to 3 cnots
+        assert n_out <= len(c.gates) + 2 * n_swap
+
+    def test_sweep_gate_cap(self):
+        c = Circuit(12)
+        for i in range(3 * MAX_SWEEP_GATES):
+            c.h(i % 8)
+        for s in plan_sweeps(c, 12, P):
+            assert len(s.gates) <= MAX_SWEEP_GATES
+
+
+class TestCorrectness:
+    @pytest.mark.parametrize("seed", [7, 19])
+    def test_random_circuit(self, seed):
+        c = q.random_circuit(12, 60, seed=seed)
+        ours, _ = run_sweeps(c)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_qft_with_cross_swaps(self):
+        c = q.qft_circuit(12)
+        ours, _ = run_sweeps(c)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_ghz_chain_through_all_regions(self):
+        c = q.ghz_circuit(13)
+        ours, _ = run_sweeps(c)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_external_bit_gates(self):
+        # every flavor of out-of-kernel resolution: diagonal with both
+        # qubits external, controlled with external control, toffoli with
+        # split controls, swap straddling regions (decomposes)
+        c = Circuit(12)
+        c.h(0).h(11).cz(10, 11).cp(9, 11, 0.4).cnot(11, 2).cnot(9, 3)
+        c.toffoli(11, 4, 8).cry(10, 2, 0.6).crz(11, 1, 0.2)
+        c.swap(8, 11).rz(10, 0.9).x(9).h(10)
+        ours, prog = run_sweeps(c)
+        assert len(prog.sweep_kinds) >= 2
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_deep_circuit_stability(self):
+        c = q.random_circuit(12, 250, seed=23)
+        ours, _ = run_sweeps(c)
+        err = np.abs(ours - oracle_state(c)).max()
+        assert err < 2e-5, err
+
+    def test_norm_preserved(self):
+        c = q.random_circuit(12, 100, seed=3)
+        ours, _ = run_sweeps(c)
+        assert np.sum(np.abs(ours) ** 2) == pytest.approx(1.0, abs=1e-5)
+
+    def test_parts_roundtrip(self):
+        c = q.random_circuit(12, 10, seed=1)
+        prog = build_sweep_run(c, np.float32, interpret=True, params=P)
+        x = ap.initial_state(12, np.float32)
+        y = np.asarray(prog.from_parts(prog.to_parts(x)))
+        np.testing.assert_array_equal(y, np.asarray(x))
+
+
+class TestValidation:
+    def test_rejects_small_n_with_default_geometry(self):
+        with pytest.raises(ValueError):
+            build_sweep_run(q.random_circuit(12, 5, seed=1), np.float32)
+
+    def test_rejects_f64(self):
+        with pytest.raises(ValueError):
+            build_sweep_run(
+                q.random_circuit(12, 5, seed=1), np.float64, params=P
+            )
+
+    def test_dispatcher_uses_sweeps_in_interpret_mode(self):
+        from tpu_qsim.config import SimConfig
+        from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
+
+        cfg = SimConfig(dtype="complex64", pallas_interpret=True)
+        fn = maybe_build_pallas_circuit_run(
+            q.random_circuit(22, 3, seed=1), np.float32, cfg
+        )
+        assert fn is not None and hasattr(fn, "run_parts")

@@ -73,7 +73,15 @@ def maybe_build_pallas_circuit_run(
         and (_on_tpu() or config_interpret(config))
     ):
         from .segmented import MAX_SEGMENTED_QUBITS, build_segmented_run
+        from .sweeps import MIN_SWEEP_QUBITS, MAX_SWEEP_QUBITS, build_sweep_run
 
+        if MIN_SWEEP_QUBITS <= n <= MAX_SWEEP_QUBITS:
+            try:
+                return build_sweep_run(
+                    circuit, np.float32, interpret=config_interpret(config)
+                )
+            except ValueError:
+                pass  # e.g. a gate the sweep planner cannot place
         if n <= MAX_SEGMENTED_QUBITS:
             return build_segmented_run(
                 circuit, np.float32, interpret=config_interpret(config)

@@ -97,8 +97,16 @@ def _xor_shift(x: jax.Array, qubit: int, n: int, interpret: bool) -> jax.Array:
     return xr.reshape(rows, LANES)
 
 
-def _bit_mask(shape: tuple[int, int], qubit: int) -> jax.Array:
-    """Boolean (R, 128): bit ``qubit`` of the flat amplitude index."""
+def _bit_mask(shape: tuple[int, int], qubit: int, ext=None):
+    """Boolean (R, 128): bit ``qubit`` of the flat amplitude index.
+
+    ``ext`` (sweep kernels) maps out-of-kernel qubit ids to traced 0/1
+    scalars — bits of the amplitude index that are CONSTANT for the current
+    kernel invocation (the map-step / chunk index of
+    :mod:`tpu_qsim.kernels.sweeps`). For those, the "mask" is a scalar bool
+    that broadcasts through every downstream where/select."""
+    if ext is not None and qubit in ext:
+        return ext[qubit] != 0
     if qubit < LANE_BITS:
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         return (lane & (1 << qubit)) != 0
@@ -111,12 +119,14 @@ def _coeff_array(
     qubits: Sequence[int],
     shape: tuple[int, int],
     dtype,
+    ext=None,
 ) -> jax.Array | float:
     """Broadcast C_v over the state: values[b] is the coefficient when the
     gate qubits spell assignment b (qubits[0] = MSB). Constant-folds when all
     values coincide. Bit masks are rebuilt from iota at every use — they are
     VPU-free after fusion, whereas caching them would pin O(qubits) full-size
-    arrays in VMEM for the whole kernel."""
+    arrays in VMEM for the whole kernel. External qubits (``ext``) contribute
+    scalar conditions that broadcast."""
     if np.all(values == values[0]):
         return float(values[0])
     k = len(qubits)
@@ -127,7 +137,7 @@ def _coeff_array(
         cond = None
         for j, q in enumerate(qubits):
             want = (b >> (k - 1 - j)) & 1
-            m = _bit_mask(shape, q)
+            m = _bit_mask(shape, q, ext)
             m = m if want else ~m
             cond = m if cond is None else cond & m
         acc = jnp.where(cond, float(values[b]), acc)
@@ -311,6 +321,7 @@ def _emit_gate(
     qubits: tuple[int, ...],
     n: int,
     interpret: bool,
+    ext=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Emit one k-qubit gate, picking the cheapest scheme. ``qubits[0]`` =
     matrix MSB (library convention).
@@ -319,9 +330,32 @@ def _emit_gate(
     * 1q / 2q on high row bits -> direct half-plane / quadrant arithmetic;
     * everything else (lane qubits, low row bits, mixed) -> XOR-shift
       variants.
+
+    ``ext`` maps out-of-kernel qubit ids to traced 0/1 scalars (sweep
+    kernels). A gate may involve external qubits only along axes where it is
+    diagonal or controlled — the sweep planner guarantees every *moving*
+    qubit is in-kernel.
     """
     k = len(qubits)
+    has_ext = ext is not None and any(q in ext for q in qubits)
+    if _is_diagonal(u) and not has_ext:
+        # Diagonal gates on high row bits: direct half/quadrant scaling beats
+        # the generic coefficient-plane path (~2 FMA/element vs building a
+        # full (R,128) mask-select plane per distinct diagonal value).
+        if k == 1 and qubits[0] >= _DIRECT_ROW_MIN:
+            return _emit_1q_row(xr, xi, u, qubits[0])
+        if k == 2 and min(qubits) >= _DIRECT_ROW_MIN:
+            return _emit_2q_row(xr, xi, u, qubits)
     if not _is_diagonal(u):
+        if has_ext:
+            v = _controlled_split(u)
+            if v is not None:
+                yr, yi = _emit_gate(xr, xi, v, qubits[1:], n, interpret, ext)
+                ctrl = _bit_mask(xr.shape, qubits[0], ext)
+                return jnp.where(ctrl, yr, xr), jnp.where(ctrl, yi, xi)
+            raise ValueError(
+                "gate moves an external qubit (sweep planner invariant broken)"
+            )
         if k == 1 and qubits[0] >= _DIRECT_ROW_MIN:
             return _emit_1q_row(xr, xi, u, qubits[0])
         if k == 2 and min(qubits) >= _DIRECT_ROW_MIN:
@@ -345,7 +379,7 @@ def _emit_gate(
                 yr, yi = _emit_gate(xr, xi, v, qubits[1:], n, interpret)
                 ctrl = _bit_mask(xr.shape, qubits[0])
                 return jnp.where(ctrl, yr, xr), jnp.where(ctrl, yi, xi)
-    return _emit_gate_generic(xr, xi, u, qubits, n, interpret)
+    return _emit_gate_generic(xr, xi, u, qubits, n, interpret, ext)
 
 
 def _emit_gate_generic(
@@ -355,11 +389,20 @@ def _emit_gate_generic(
     qubits: tuple[int, ...],
     n: int,
     interpret: bool,
+    ext=None,
 ) -> tuple[jax.Array, jax.Array]:
     k = len(qubits)
     dim = 1 << k
     shape = xr.shape
     dtype = xr.dtype
+    if (
+        ext is not None
+        and not _is_diagonal(u)
+        and any(q in ext for q in qubits)
+    ):
+        raise ValueError(
+            "gate moves an external qubit (sweep planner invariant broken)"
+        )
 
     acc_r = None
     acc_i = None
@@ -378,8 +421,8 @@ def _emit_gate_generic(
             if (v >> (k - 1 - j)) & 1:
                 sr = _xor_shift(sr, q, n, interpret)
                 si = _xor_shift(si, q, n, interpret)
-        cr = _coeff_array(col.real, qubits, shape, dtype)
-        ci = _coeff_array(col.imag, qubits, shape, dtype)
+        cr = _coeff_array(col.real, qubits, shape, dtype, ext)
+        ci = _coeff_array(col.imag, qubits, shape, dtype, ext)
         has_re = not (isinstance(cr, float) and cr == 0.0)
         has_im = not (isinstance(ci, float) and ci == 0.0)
         tr = ti = None
@@ -400,6 +443,11 @@ def _emit_gate_generic(
 # extra per-slab loop, so their floor is higher).
 LANE_WINDOW_MIN = 3
 ROW_WINDOW_MIN = 4
+# Row windows unroll their slab loop up to this many slabs (best runtime);
+# larger kernels switch to a fori_loop over scratch refs — an unrolled
+# 128-slab window was the dominant Mosaic compile cost at 21-bit kernels
+# (>10 min per kernel through the remote compiler).
+ROW_WINDOW_MAX_SLABS = 16
 
 _LANE_GROUP = (6, 5, 4, 3, 2, 1, 0)       # 7-qubit lane space, MSB-first
 ROW_AXIS_BITS = LANE_BITS + 7              # qubits 7..13: the row-matmul axis
@@ -475,26 +523,54 @@ def _emit_row_window(
     xi: jax.Array,
     wr: jax.Array,
     wi: jax.Array | None,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """A fused run of gates on the row-axis qubits (7..13) as per-slab MXU
     matmuls: view the (R, 128) plane as (A, 128, 128) slabs and compute
     y[a] = U @ x[a] (U untransposed; rows of U index outputs). Same FLOPs as
-    a lane window plus an unrolled A-slab loop."""
+    a lane window plus an A-slab loop.
+
+    Small kernels unroll the slab loop; large (sweep) kernels run it as a
+    ``fori_loop`` over scratch refs — unrolled 128-slab windows were the
+    dominant Mosaic compile cost at 21-bit kernels (>10 min per kernel)."""
     rows = xr.shape[0]
     a_cnt = rows // LANES
 
-    def bdot(w, x):
-        x3 = x.reshape(a_cnt, LANES, LANES)
-        ys = [
-            jnp.dot(
-                w,
-                x3[a],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+    def mxu(w, slab):
+        return jnp.dot(
+            w,
+            slab,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    if interpret or a_cnt <= ROW_WINDOW_MAX_SLABS:
+
+        def bdot(w, x):
+            x3 = x.reshape(a_cnt, LANES, LANES)
+            ys = [mxu(w, x3[a]) for a in range(a_cnt)]
+            return jnp.stack(ys, axis=0).reshape(rows, LANES)
+
+    else:
+
+        def bdot(w, x):
+            def scoped(xref, yref):
+                xref[:] = x
+
+                def step(a, _):
+                    yref[pl.ds(a * LANES, LANES), :] = mxu(
+                        w, xref[pl.ds(a * LANES, LANES), :]
+                    )
+                    return 0
+
+                jax.lax.fori_loop(0, a_cnt, step, 0)
+                return yref[:]
+
+            return pl.run_scoped(
+                scoped,
+                xref=pltpu.VMEM((rows, LANES), jnp.float32),
+                yref=pltpu.VMEM((rows, LANES), jnp.float32),
             )
-            for a in range(a_cnt)
-        ]
-        return jnp.stack(ys, axis=0).reshape(rows, LANES)
 
     if wi is None:
         return bdot(wr, xr), bdot(wr, xi)
@@ -596,10 +672,11 @@ def emit_ops(
     n: int,
     interpret: bool,
     const_ref=None,
+    ext=None,
 ) -> tuple[jax.Array, jax.Array]:
     for op in ops:
         if op[0] == "gate":
-            xr, xi = _emit_gate(xr, xi, op[1], op[2], n, interpret)
+            xr, xi = _emit_gate(xr, xi, op[1], op[2], n, interpret, ext)
         elif op[0] == "mm":
             wr = const_ref[op[1] : op[1] + LANES, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
@@ -607,7 +684,7 @@ def emit_ops(
         elif op[0] == "mmb":
             wr = const_ref[op[1] : op[1] + LANES, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
-            xr, xi = _emit_row_window(xr, xi, wr, wi)
+            xr, xi = _emit_row_window(xr, xi, wr, wi, interpret)
         else:
             wr = const_ref[op[1] : op[1] + 1, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + 1, :]

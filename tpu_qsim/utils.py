@@ -98,3 +98,48 @@ def enable_persistent_compilation_cache(path: str = ".jax_cache") -> None:
     TPU relay take minutes; cache hits are instant)."""
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# XLA's default per-kernel scoped-VMEM budget (16 MB) is enforced on Pallas
+# kernels compiled inside control flow (lax.map/scan bodies), where the
+# kernel-level ``vmem_limit_bytes`` compiler param is not propagated — the
+# sweep kernels of :mod:`tpu_qsim.kernels.sweeps` hold a 2^21-amplitude
+# block plus emission temporaries and need far more. The module-level debug
+# option below raises it; it is proto-backed, so it forwards through
+# AOT/remote compilers where XLA_FLAGS cannot be set.
+SCOPED_VMEM_KIB = 114688
+
+
+def jit_scoped(fn: Callable, scoped_vmem_kib: int = SCOPED_VMEM_KIB):
+    """``jax.jit`` with a raised XLA scoped-VMEM limit (TPU backends).
+
+    Returns a callable with a per-signature compile cache built via
+    ``lower().compile(compiler_options=...)``. On backends that reject the
+    option (CPU tests), falls back to plain ``jax.jit``.
+    """
+    jitted = jax.jit(fn)
+    cache: dict = {}
+    fallback = jax.default_backend() in ("cpu", "gpu")
+
+    def wrapped(*args):
+        if fallback:
+            return jitted(*args)
+        leaves = jax.tree_util.tree_leaves(args)
+        key = (
+            jax.tree_util.tree_structure(args),
+            tuple((tuple(a.shape), str(a.dtype)) for a in leaves),
+        )
+        compiled = cache.get(key)
+        if compiled is None:
+            try:
+                compiled = jitted.lower(*args).compile(
+                    compiler_options={
+                        "xla_tpu_scoped_vmem_limit_kib": scoped_vmem_kib
+                    }
+                )
+            except Exception:
+                compiled = jitted
+            cache[key] = compiled
+        return compiled(*args)
+
+    return wrapped
