@@ -30,7 +30,9 @@ import time
 # published mixed row, so the (equally launch-bound) 100-H rows stand in.
 BASELINES_MS = {16: 0.29, 20: 0.28, 22: 0.28, 24: 0.24, 26: 0.24}
 NUM_GATES = 100
-LOOPS = {16: 200, 20: 50, 22: 20, 24: 8, 26: 3}
+# chained loop counts sized so t(4K)-t(K) >> the ~±2 ms tunnel-readback
+# noise at each size's per-circuit time
+LOOPS = {16: 1500, 20: 100, 22: 20, 24: 8, 26: 3}
 HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 

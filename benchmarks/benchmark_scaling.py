@@ -45,8 +45,8 @@ def main() -> int:
         init_ms = (time.perf_counter() - t0) * 1e3
 
         c = q.random_circuit(n, args.gates, seed=42)
-        # production auto-dispatch: whole-circuit Pallas <= 18q, segmented
-        # grid kernel to 26q, fused-XLA fallback (e.g. off-TPU)
+        # production auto-dispatch: whole-circuit Pallas <= 18q, part-map
+        # sweep engine 22-26q, segmented grid between, fused-XLA fallback
         try:
             runner = build_circuit_runner(c, "dispatch")
             sec = time_chained(runner, x, reps=10)

@@ -72,9 +72,13 @@ def build_circuit_runner(circuit, backend: str):
         from tpu_qsim.kernels.segmented import build_segmented_run
 
         return build_segmented_run(circuit, np.float32)
+    if backend == "sweeps":
+        from tpu_qsim.kernels.sweeps import build_sweep_run
+
+        return build_sweep_run(circuit, np.float32)
     if backend == "dispatch":
-        # production auto-dispatch: whole-circuit VMEM kernel, segmented
-        # grid kernel, or fused-XLA by size/config
+        # production auto-dispatch: whole-circuit VMEM kernel, part-map
+        # sweep engine, segmented grid kernel, or fused-XLA by size/config
         from tpu_qsim.config import SimConfig
         from tpu_qsim.kernels.dispatch import maybe_build_pallas_circuit_run
 
