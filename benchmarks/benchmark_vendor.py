@@ -73,16 +73,25 @@ def main() -> int:
             gate(c1, n)
             runner = build_circuit_runner(c1, "dispatch")
             x = ap.initial_state(n, np.float32)
-            reps = max(4, min(200, 1 << (24 - n)))
+            reps = max(4, min(200, 1 << max(0, 24 - n)))
             single = time_chained(runner, x, reps=reps) * 1e3
-            # production path: 100 identical gates fused
+            # production path: 100 gates of the same kind fused. Cycle the
+            # target qubit: 100x the SAME gate would compose to (near-)
+            # identity under window fusion — a legitimate optimization, but
+            # a meaningless throughput claim.
             c100 = q.Circuit(n)
-            for _ in range(100):
-                gate(c100, n)
+            for i in range(100):
+                if name == "h":
+                    c100.h(i % n)
+                else:
+                    j = i % (n - 1)
+                    c100.cnot(j, j + 1)
             runner = build_circuit_runner(c100, "dispatch")
             fused = time_chained(runner, x, reps=max(3, reps // 4)) * 1e3 / 100
             ref_ms, cusv_ms = PUBLISHED[(name, n)]
-            print(f"{name+'@'+str(n)+'q':>16} {single:>7.4f}/{fused:.4f} "
+            # sub-10us/gate values sit below the tunnel-timing noise floor
+            fs = f"{fused:.4f}" if fused >= 0.01 else "<0.01"
+            print(f"{name+'@'+str(n)+'q':>16} {single:>7.4f}/{fs} "
                   f"{ref_ms:>9.3f} {cusv_ms:>11.3f}   (single/fused)")
 
     print(f"\n{'circuit':>16} {'ours gates/s':>13} {'refCUDA':>9} "
@@ -96,6 +105,10 @@ def main() -> int:
         ref_gs, cusv_gs = PUBLISHED[("circuit", n)]
         print(f"{'h+cnot d10@'+str(n)+'q':>16} {ours:>13,.0f} "
               f"{ref_gs:>9,.0f} {cusv_gs:>11,.0f}")
+    print("\nnote: circuit rows use the reference's exact workload; our "
+          "commute-aware window fusion composes its repeated H layers "
+          "(H·H = I), which per-gate execution models cannot — part of the "
+          "speedup is that optimization, and it is reported as such.")
     return 0
 
 

@@ -125,6 +125,11 @@ def jit_scoped(fn: Callable, scoped_vmem_kib: int = SCOPED_VMEM_KIB):
         if fallback:
             return jitted(*args)
         leaves = jax.tree_util.tree_leaves(args)
+        if any(isinstance(a, jax.core.Tracer) for a in leaves):
+            # called under an outer trace: inline as a plain jit call (the
+            # OUTER compile must itself raise the scoped limit — use
+            # jit_scoped there too)
+            return jitted(*args)
         key = (
             jax.tree_util.tree_structure(args),
             tuple((tuple(a.shape), str(a.dtype)) for a in leaves),
