@@ -28,7 +28,15 @@ JOBS = "/root/repo/.tpu_jobs"
 os.makedirs(JOBS, exist_ok=True)
 print("worker ready", flush=True)
 
+# Auto-exit when idle: the round driver runs bench.py in its own process,
+# which needs the (single-claim) device this worker would otherwise hold.
+IDLE_EXIT_S = 2400
+last_job = time.time()
+
 while True:
+    if time.time() - last_job > IDLE_EXIT_S:
+        print("idle too long; releasing the device", flush=True)
+        break
     for name in sorted(os.listdir(JOBS)):
         if not name.endswith(".py"):
             continue
@@ -37,24 +45,27 @@ while True:
         for m in list(sys.modules):
             if m.startswith("tpu_qsim"):
                 del sys.modules[m]
-        out = io.StringIO()
         t0 = time.time()
+        live = open(path + ".live", "w", buffering=1)
         try:
             src = open(path).read()
             old = sys.stdout
-            sys.stdout = out
+            sys.stdout = live
             try:
                 exec(compile(src, path, "exec"), {"__name__": "__job__"})
             finally:
                 sys.stdout = old
             status = "ok"
         except Exception:
-            out.write("\n" + traceback.format_exc())
+            live.write("\n" + traceback.format_exc())
             status = "err"
+        live.close()
         dt = time.time() - t0
         with open(path + ".out", "w") as f:
             f.write(f"# status={status} wall={dt:.1f}s\n")
-            f.write(out.getvalue())
+            f.write(open(path + ".live").read())
+        os.remove(path + ".live")
         os.rename(path, path + ".done")
+        last_job = time.time()
         print(f"job {name}: {status} ({dt:.1f}s)", flush=True)
     time.sleep(2)

@@ -89,12 +89,12 @@ def _xor_shift(x: jax.Array, qubit: int, n: int, interpret: bool) -> jax.Array:
             fwd = pltpu.roll(x, rows - d, 0)
             bwd = pltpu.roll(x, d, 0)
         return jnp.where(bit0, fwd, bwd)
-    # high row bit: expose it with a leading-dim reshape and flip
+    # high row bit: expose it with a leading-dim reshape and swap the
+    # size-2 axis
     a = rows >> (rb + 1)                      # high rows
     b = 1 << rb                               # low rows
-    xr = x.reshape(a, 2, b * LANES)
-    xr = jnp.stack([xr[:, 1], xr[:, 0]], axis=1)
-    return xr.reshape(rows, LANES)
+    v = x.reshape(a, 2, b, LANES)
+    return _swap2(v, 1).reshape(rows, LANES)
 
 
 def _bit_mask(shape: tuple[int, int], qubit: int, ext=None):
@@ -107,10 +107,12 @@ def _bit_mask(shape: tuple[int, int], qubit: int, ext=None):
     that broadcasts through every downstream where/select."""
     if ext is not None and qubit in ext:
         return ext[qubit] != 0
+    # minimal broadcastable shapes: a (R,1) / (1,128) mask costs 128x / Rx
+    # less to build than a full (R,128) one and fuses identically downstream
     if qubit < LANE_BITS:
-        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
         return (lane & (1 << qubit)) != 0
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (shape[0], 1), 0)
     return (row & (1 << (qubit - LANE_BITS))) != 0
 
 
@@ -130,7 +132,9 @@ def _coeff_array(
     if np.all(values == values[0]):
         return float(values[0])
     k = len(qubits)
-    acc = jnp.full(shape, float(values[0]), dtype=dtype)
+    # start from a (1,1) seed: the where-chain broadcasts only as far as the
+    # participating masks' shapes require ((R,1), (1,128), or full)
+    acc = jnp.full((1, 1), float(values[0]), dtype=dtype)
     for b in range(1, 1 << k):
         if values[b] == values[0]:
             continue
@@ -180,49 +184,121 @@ _SWAP_U = np.array(
 )
 
 
+def _swap2(v: jax.Array, axis: int) -> jax.Array:
+    """Exchange the two halves of a size-2 axis (lax.rev has no Mosaic
+    lowering; a leading-axis slice pair + concatenate does)."""
+    lo = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+    hi = jax.lax.slice_in_dim(v, 1, 2, axis=axis)
+    return jax.lax.concatenate([hi, lo], dimension=axis)
+
+
+def _axis_const(values, shape: tuple[int, ...], axis: int):
+    """Per-half coefficient broadcast: a tiny (1,..,2,..,1) array selecting
+    values[h] on half h of ``axis``. Constant-folds when equal; built from
+    an iota-compare so no array constant is captured."""
+    v0, v1 = float(values[0]), float(values[1])
+    if v0 == v1:
+        return v0
+    bshape = tuple(2 if d == axis else 1 for d in range(len(shape)))
+    h = jax.lax.broadcasted_iota(jnp.int32, bshape, axis)
+    return jnp.where(h == 1, jnp.float32(v1), jnp.float32(v0))
+
+
+def _bc_terms(acc_r, acc_i, cr, ci, sr, si):
+    """acc += (cr + i*ci) * (sr + i*si) where cr/ci are floats or broadcast
+    arrays; zero/unit float coefficients are elided."""
+
+    def mul(c, x):
+        if isinstance(c, float):
+            if c == 0.0:
+                return None
+            if c == 1.0:
+                return x
+            if c == -1.0:
+                return -x
+        return c * x
+
+    def add(a, t):
+        if t is None:
+            return a
+        return t if a is None else a + t
+
+    is_zero_f = lambda c: isinstance(c, float) and c == 0.0  # noqa: E731
+    if not is_zero_f(cr):
+        acc_r = add(acc_r, mul(cr, sr))
+        acc_i = add(acc_i, mul(cr, si))
+    if not is_zero_f(ci):
+        t = mul(ci, si)
+        acc_r = add(acc_r, None if t is None else -t)
+        acc_i = add(acc_i, mul(ci, sr))
+    return acc_r, acc_i
+
+
 def _emit_1q_row(
     xr: jax.Array, xi: jax.Array, u: np.ndarray, q: int
 ) -> tuple[jax.Array, jax.Array]:
-    """1q gate on a high row bit as two half-plane updates:
-    y0 = u00 x0 + u01 x1 ; y1 = u10 x0 + u11 x1. ~6 VPU ops/element for a
-    real dense u vs ~15 for the XOR-shift scheme (the reference's analog is
-    the pair-update kernel, src/Gates.cu:31-104, one thread per pair)."""
+    """1q gate on a high row bit, slicing-free: view the plane as
+    (a, 2, b, 128) with the gate bit exposed on axis 1, fetch the partner
+    half with a single axis reversal, and combine with per-half broadcast
+    coefficients:
+
+        y = diag_h * x + off_h * rev(x),   diag_h = u[h,h], off_h = u[h,1-h]
+
+    ~1 data-movement pass + the arithmetic, vs the previous half-slice +
+    restack scheme whose slice/concatenate plumbing dominated the jaxpr
+    (~9 plane-touches per gate). The reference's analog is the pair-update
+    kernel (src/Gates.cu:31-104), one thread per pair."""
     rows = xr.shape[0]
     rb = q - LANE_BITS
     a = rows >> (rb + 1)
     b = 1 << rb
+    shape = (a, 2, b, LANES)
+    vr = xr.reshape(shape)
+    vi = xi.reshape(shape)
 
-    def halves(x):
-        v = x.reshape(a, 2, b, LANES)
-        return v[:, 0], v[:, 1]
+    dr = _axis_const((u[0, 0].real, u[1, 1].real), shape, 1)
+    di = _axis_const((u[0, 0].imag, u[1, 1].imag), shape, 1)
+    acc_r, acc_i = _bc_terms(None, None, dr, di, vr, vi)
 
-    x0r, x1r = halves(xr)
-    x0i, x1i = halves(xi)
-    outs = []
-    for row in (0, 1):
-        accr, acci = _acc(None, None, u[row, 0], x0r, x0i)
-        accr, acci = _acc(accr, acci, u[row, 1], x1r, x1i)
-        outs.append((accr, acci))
+    if u[0, 1] != 0 or u[1, 0] != 0:
+        swr = _swap2(vr, 1)
+        swi = _swap2(vi, 1)
+        fr = _axis_const((u[0, 1].real, u[1, 0].real), shape, 1)
+        fi = _axis_const((u[0, 1].imag, u[1, 0].imag), shape, 1)
+        acc_r, acc_i = _bc_terms(acc_r, acc_i, fr, fi, swr, swi)
 
-    def rejoin(y0, y1):
-        if y0 is None:
-            y0 = jnp.zeros_like(x0r)
-        if y1 is None:
-            y1 = jnp.zeros_like(x0r)
-        return jnp.stack([y0, y1], axis=1).reshape(rows, LANES)
+    z = None
+    if acc_r is None or acc_i is None:
+        z = jnp.zeros(shape, xr.dtype)
+    acc_r = z if acc_r is None else acc_r
+    acc_i = z if acc_i is None else acc_i
+    return acc_r.reshape(rows, LANES), acc_i.reshape(rows, LANES)
 
-    return (
-        rejoin(outs[0][0], outs[1][0]),
-        rejoin(outs[0][1], outs[1][1]),
+
+def _grid_const(vals: np.ndarray, shape: tuple[int, ...], ax_hi: int, ax_lo: int):
+    """(2,2) per-quadrant coefficient broadcast over two exposed axes."""
+    if np.all(vals == vals[0, 0]):
+        return float(vals[0, 0])
+    bshape = tuple(
+        2 if d in (ax_hi, ax_lo) else 1 for d in range(len(shape))
+    )
+    h = jax.lax.broadcasted_iota(jnp.int32, bshape, ax_hi)
+    lo = jax.lax.broadcasted_iota(jnp.int32, bshape, ax_lo)
+    v = [[jnp.float32(float(vals[i, j])) for j in (0, 1)] for i in (0, 1)]
+    return jnp.where(
+        h == 1,
+        jnp.where(lo == 1, v[1][1], v[1][0]),
+        jnp.where(lo == 1, v[0][1], v[0][0]),
     )
 
 
 def _emit_2q_row(
     xr: jax.Array, xi: jax.Array, u: np.ndarray, qubits: tuple[int, ...]
 ) -> tuple[jax.Array, jax.Array]:
-    """2q gate with both qubits on high row bits as four quadrant updates.
-    Zero matrix entries are elided, so permutation gates (CNOT/SWAP) reduce
-    to pure quadrant copies."""
+    """2q gate with both qubits on high row bits, slicing-free: both bits
+    exposed as size-2 axes, the four XOR variants fetched by axis reversals,
+    combined with per-quadrant broadcast coefficients (zero variants
+    elided — CNOT keeps one reversal + a 2-value select, SWAP two)."""
     qa, qb = qubits  # qa = matrix-index MSB
     rows = xr.shape[0]
     rhi = max(qa, qb) - LANE_BITS
@@ -230,41 +306,39 @@ def _emit_2q_row(
     a = rows >> (rhi + 1)
     b = 1 << (rhi - rlo - 1)
     c = 1 << rlo
+    shape = (a, 2, b, 2, c, LANES)
+    vr = xr.reshape(shape)
+    vi = xi.reshape(shape)
 
-    def quads(x):
-        v = x.reshape(a, 2, b, 2, c, LANES)
-        return [v[:, h, :, l] for h in (0, 1) for l in (0, 1)]
+    def m_of(h: int, lo: int) -> int:
+        return (h << 1 | lo) if qa > qb else (lo << 1 | h)
 
-    xq_r = quads(xr)
-    xq_i = quads(xi)
-
-    def m_of_k(k: int) -> int:
-        h, l = k >> 1, k & 1
-        return (h << 1 | l) if qa > qb else (l << 1 | h)
-
-    outs = []
-    for k_out in range(4):
-        mo = m_of_k(k_out)
-        accr = acci = None
-        for k_in in range(4):
-            coeff = u[mo, m_of_k(k_in)]
-            if coeff == 0:
+    acc_r = acc_i = None
+    for fhi in (0, 1):
+        for flo in (0, 1):
+            vals = np.array(
+                [
+                    [u[m_of(h, lo), m_of(h ^ fhi, lo ^ flo)] for lo in (0, 1)]
+                    for h in (0, 1)
+                ]
+            )
+            if not np.any(vals):
                 continue
-            accr, acci = _acc(accr, acci, coeff, xq_r[k_in], xq_i[k_in])
-        outs.append((accr, acci))
+            sr, si = vr, vi
+            for d, f in ((1, fhi), (3, flo)):
+                if f:
+                    sr = _swap2(sr, d)
+                    si = _swap2(si, d)
+            cr = _grid_const(vals.real, shape, 1, 3)
+            ci = _grid_const(vals.imag, shape, 1, 3)
+            acc_r, acc_i = _bc_terms(acc_r, acc_i, cr, ci, sr, si)
 
-    def rejoin(plane: int):
-        qs = [
-            outs[k][plane]
-            if outs[k][plane] is not None
-            else jnp.zeros_like(xq_r[0])
-            for k in range(4)
-        ]
-        low0 = jnp.stack([qs[0], qs[1]], axis=2)  # (a, b, 2, c, LANES)
-        low1 = jnp.stack([qs[2], qs[3]], axis=2)
-        return jnp.stack([low0, low1], axis=1).reshape(rows, LANES)
-
-    return rejoin(0), rejoin(1)
+    z = None
+    if acc_r is None or acc_i is None:
+        z = jnp.zeros(shape, xr.dtype)
+    acc_r = z if acc_r is None else acc_r
+    acc_i = z if acc_i is None else acc_i
+    return acc_r.reshape(rows, LANES), acc_i.reshape(rows, LANES)
 
 
 def _emit_lane_window(
