@@ -156,3 +156,32 @@ class TestValidation:
             q.random_circuit(22, 3, seed=1), np.float32, cfg
         )
         assert fn is not None and hasattr(fn, "run_parts")
+
+
+class TestFallback:
+    def test_unplaceable_gate_raises(self):
+        # a dense 2q user gate moving both a mid and a top qubit cannot be
+        # decomposed by the planner -> ValueError (the dispatcher then falls
+        # back to the segmented engine)
+        import tpu_qsim.gates as gates
+
+        name = "dense2q_sweeptest"
+        if name not in gates.GATE_NAMES:
+            theta = 0.3
+            u = np.kron(
+                np.array([[np.cos(theta), -np.sin(theta)],
+                          [np.sin(theta), np.cos(theta)]]),
+                np.array([[np.cos(theta), 1j * np.sin(theta)],
+                          [1j * np.sin(theta), np.cos(theta)]]),
+            )
+            gates.register_gate(name, u, num_qubits=2)
+        c = Circuit(12)
+        c.add(name, 10, 9)  # top bit 10 + mid bit 9 under the test geometry
+        with pytest.raises(ValueError):
+            plan_sweeps(c, 12, P)
+
+    def test_swap_across_regions_decomposes(self):
+        c = Circuit(12).swap(9, 11)  # mid 9 <-> top 11
+        plan = plan_sweeps(c, 12, P)
+        names = [g.name for s in plan for g in s.gates]
+        assert names.count("cnot") == 3 and "swap" not in names
