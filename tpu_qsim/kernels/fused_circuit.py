@@ -52,7 +52,11 @@ LANES = 1 << LANE_BITS
 # window/half-plane emission compiles 18q in ~22s and runs 20% faster than
 # the segmented path there). Larger states route through the segmented grid
 # path, whose per-block shapes stay in this regime regardless of n.
-MAX_PALLAS_QUBITS = 18              # default policy ceiling (compile time)
+MAX_PALLAS_QUBITS = 19              # default policy ceiling: 19q compiles
+# in ~18 s with the v4 emission + 100 MB kernel budget and runs 6% faster
+# than the segmented grid (0.167 vs 0.178 ms); at 20q the whole-circuit
+# form LOSES (0.375 vs 0.283 ms — per-call operand staging is additive
+# while the grid pipeline overlaps it), so the ceiling stays below 20.
 HARD_MAX_PALLAS_QUBITS = 20         # VMEM bound: beyond this compiles OOM
 MIN_PALLAS_QUBITS = LANE_BITS + 3   # need a few row bits to be worthwhile
 
@@ -815,6 +819,11 @@ def build_pallas_run(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},
+        # default scoped-VMEM budget is 16 MB; a 100-gate emission at
+        # 2^12-row values needs far more (the 18q ceiling was partly this)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
