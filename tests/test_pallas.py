@@ -135,3 +135,72 @@ class TestDeepCircuitStability:
         out = pallas_apply(c)
         assert np.max(np.abs(out - ora.get_state())) < 2e-4
         assert abs(np.sum(np.abs(out) ** 2) - 1.0) < 1e-4
+
+
+def dense_apply(psi, u, qubits, n):
+    """Dense tensor oracle: apply ``u`` on ``qubits`` (qubits[0] = matrix
+    MSB) to a 2^n state — shares no reshape-view machinery with the
+    emission under test."""
+    k = len(qubits)
+    t = psi.reshape([2] * n)                    # axis j = bit n-1-j
+    axes = [n - 1 - q for q in qubits]
+    t2 = np.tensordot(
+        u.reshape((2,) * (2 * k)), t, axes=(list(range(k, 2 * k)), axes)
+    )
+    return np.moveaxis(t2, range(k), axes).reshape(-1)
+
+
+class TestDirectRowEmission:
+    """Unit tests of the slicing-free direct-row emission functions
+    (_emit_1q_row/_emit_2q_row) at production-regime qubit positions
+    (>= _DIRECT_ROW_MIN = 10) — pure jnp functions, testable on CPU
+    without Pallas (round-2 advisor item: the shrunk sweep-test geometry
+    never reached these paths)."""
+
+    def _planes(self, psi, n):
+        import jax.numpy as jnp
+
+        rows = 1 << (n - 7)
+        xr = jnp.asarray(psi.real.astype(np.float32).reshape(rows, 128))
+        xi = jnp.asarray(psi.imag.astype(np.float32).reshape(rows, 128))
+        return xr, xi
+
+    def _collect(self, yr, yi):
+        return (
+            np.asarray(yr).ravel().astype(np.float64)
+            + 1j * np.asarray(yi).ravel().astype(np.float64)
+        )
+
+    @pytest.mark.parametrize("name,param", [
+        ("h", None), ("x", None), ("y", None), ("rz", 0.83), ("ry", 1.17),
+        ("s", None), ("t", None),
+    ])
+    @pytest.mark.parametrize("q", [10, 11])
+    def test_1q_row_vs_dense_oracle(self, name, param, q, rng):
+        from tpu_qsim.gates import gate_matrix
+        from tpu_qsim.kernels.fused_circuit import _emit_1q_row
+
+        n = 12
+        psi = random_state(n, rng)
+        u = gate_matrix(name, param)
+        xr, xi = self._planes(psi, n)
+        out = self._collect(*_emit_1q_row(xr, xi, u, q))
+        np.testing.assert_allclose(out, dense_apply(psi, u, (q,), n), atol=2e-6)
+
+    @pytest.mark.parametrize("name,param", [
+        ("cnot", None), ("cz", None), ("swap", None), ("cry", 0.6),
+        ("cp", 0.9),
+    ])
+    @pytest.mark.parametrize("qubits", [(10, 11), (12, 10), (11, 12)])
+    def test_2q_row_vs_dense_oracle(self, name, param, qubits, rng):
+        from tpu_qsim.gates import gate_matrix
+        from tpu_qsim.kernels.fused_circuit import _emit_2q_row
+
+        n = 13
+        psi = random_state(n, rng)
+        u = gate_matrix(name, param)
+        xr, xi = self._planes(psi, n)
+        out = self._collect(*_emit_2q_row(xr, xi, u, qubits))
+        np.testing.assert_allclose(
+            out, dense_apply(psi, u, qubits, n), atol=2e-6
+        )

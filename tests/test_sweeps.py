@@ -185,3 +185,49 @@ class TestFallback:
         plan = plan_sweeps(c, 12, P)
         names = [g.name for s in plan for g in s.gates]
         assert names.count("cnot") == 3 and "swap" not in names
+
+
+class TestLargeKernelGeometry:
+    """rb_bits=4 geometry: low-sweep kernels span 12 bits, so in-kernel
+    qubits reach the direct-row emission regime (>= _DIRECT_ROW_MIN = 10)
+    that the shrunk default test geometry never exercises (round-2 advisor
+    item) — this pins the ext + direct-row interaction."""
+
+    P_BIG = SweepParams(k_bits=2, rb_bits=4)  # blk_bits=11, n=14
+
+    def test_high_row_gates_vs_oracle(self):
+        n = 14
+        c = Circuit(n)
+        # dense + diagonal + controlled traffic concentrated on kernel
+        # bits 10/11 (direct-row paths) and the external tops 12/13
+        c.h(10).h(11).x(10).ry(11, 0.7).cnot(10, 11).cz(11, 10)
+        c.cnot(13, 10).cp(12, 11, 0.4).rz(10, 1.1).h(13).cnot(12, 3)
+        c.swap(10, 11).t(11).cry(10, 11, 0.9).h(12).cnot(11, 10)
+        ours, prog = run_sweeps(c, self.P_BIG)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_random_mixed_vs_oracle(self):
+        c = q.random_circuit(14, 40, seed=31)
+        ours, _ = run_sweeps(c, self.P_BIG)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+
+class TestPlannerNoHang:
+    def test_wide_dense_gate_raises_instead_of_hanging(self):
+        # round-2 advisor (medium): a dense gate moving more top bits than
+        # MAX_ACTIVE_TOPS used to spin the planner forever; it must raise
+        # so the dispatcher can fall back to the segmented engine
+        import tpu_qsim.gates as gates
+
+        name = "dense5q_sweeptest"
+        if name not in gates.GATE_NAMES:
+            u = np.array([[1.0]])
+            x = np.array([[0.0, 1.0], [1.0, 0.0]])
+            for _ in range(5):
+                u = np.kron(u, x)
+            gates.register_gate(name, u, num_qubits=5)
+        params = SweepParams(k_bits=5, rb_bits=2)  # tops = 5 > MAX_ACTIVE_TOPS
+        c = Circuit(15)
+        c.add(name, 14, 13, 12, 11, 10)  # all five top bits move
+        with pytest.raises(ValueError, match="top qubits"):
+            plan_sweeps(c, 15, params)

@@ -139,6 +139,7 @@ def plan_sweeps(
     top = frozenset(range(n - params.k_bits, n))
     lowmid = frozenset(range(params.blk_bits, n - params.k_bits))
 
+    max_tops = min(MAX_ACTIVE_TOPS, params.k_bits)
     gates: list[Gate] = []
     for g in circuit.gates:
         mv = moving_qubits(gate_matrix(g.name, g.param), g.qubits)
@@ -153,6 +154,14 @@ def plan_sweeps(
                 continue
             raise ValueError(
                 f"gate {g.name}{g.qubits} moves both a mid and a top qubit"
+            )
+        if len(mv & top) > max_tops:
+            # a dense gate moving more top bits than a high kernel can stack
+            # can never fit ANY sweep; without this check the scheduler below
+            # would flip kinds forever without progress
+            raise ValueError(
+                f"gate {g.name}{g.qubits} moves {len(mv & top)} top qubits; "
+                f"the sweep engine stacks at most {max_tops}"
             )
         gates.append(g)
 
@@ -174,6 +183,7 @@ def plan_sweeps(
     sched = FrontierScheduler(gates)
     sweeps: list[Sweep] = []
     cur: Sweep | None = None
+    flips = 0
     while not sched.done():
         if cur is not None:
             progressed = True
@@ -196,8 +206,15 @@ def plan_sweeps(
             if cur is not None:
                 sweeps.append(cur)
             cur = Sweep(nxt)
+            flips = 0
         else:  # fresh sweep absorbed nothing: flip kind
             cur = Sweep(nxt)
+            flips += 1
+            if flips > 2:  # both kinds tried fresh: nothing can ever fit
+                g = gates[sched.ready()[0]]
+                raise ValueError(
+                    f"sweep planner cannot place gate {g.name}{g.qubits}"
+                )
     if cur is not None and cur.gates:
         sweeps.append(cur)
     return sweeps

@@ -142,7 +142,16 @@ def jit_scoped(fn: Callable, scoped_vmem_kib: int = SCOPED_VMEM_KIB):
                         "xla_tpu_scoped_vmem_limit_kib": scoped_vmem_kib
                     }
                 )
-            except Exception:
+            except Exception as e:
+                # surface the fallback: a silently-missing scoped-VMEM raise
+                # turns into an opaque allocator OOM deep inside lax.map
+                import warnings
+
+                warnings.warn(
+                    "jit_scoped: compiler_options compile failed "
+                    f"({type(e).__name__}: {e}); falling back to plain "
+                    "jax.jit without the raised scoped-VMEM limit"
+                )
                 compiled = jitted
             cache[key] = compiled
         return compiled(*args)
