@@ -61,7 +61,10 @@ def main() -> int:
     import tpu_qsim.apply as ap
 
     print("cross-device comparison: TPU v5e (ours) vs RTX 4070L "
-          "(reference CUDA + cuStateVec 1.11.0, published numbers)\n")
+          "(reference CUDA + cuStateVec 1.11.0, published numbers)")
+    print("CAVEAT: cross-precision as well as cross-device — ours runs f32"
+          " split planes,\nthe published reference/cuStateVec table is"
+          " complex128; every multiple below\ninherits both caveats.\n")
 
     print(f"{'workload':>16} {'ours ms/gate':>13} {'refCUDA':>9} "
           f"{'cuStateVec':>11}")
