@@ -204,3 +204,70 @@ class TestDirectRowEmission:
         np.testing.assert_allclose(
             out, dense_apply(psi, u, qubits, n), atol=2e-6
         )
+
+
+class TestTopWindow:
+    """The "rowt" MXU window (one leading-axis (128,128)@(128,R) matmul
+    absorbing a run of gates on the top 7 kernel bits) must agree with the
+    XLA engine — in both matmul pass modes. Window formation is forced by
+    shrinking TOP_WINDOW_MIN (production breakeven is ~10 gates)."""
+
+    def _run(self, c, psi0, dot_mode="highest"):
+        import tpu_qsim.kernels.fused_circuit as fc
+
+        old_min, old_dot = fc.TOP_WINDOW_MIN, fc.WINDOW_DOT
+        fc.TOP_WINDOW_MIN, fc.WINDOW_DOT = 2, dot_mode
+        try:
+            return pallas_apply(c, psi0)
+        finally:
+            fc.TOP_WINDOW_MIN, fc.WINDOW_DOT = old_min, old_dot
+
+    def _window_circuit(self, n):
+        # >= 10 gates confined to the top-7 group [n-7, n), mixing dense,
+        # diagonal, controlled, and cross-bit 2q traffic
+        b = n - 7
+        c = Circuit(n)
+        c.h(b).x(b + 1).ry(b + 2, 0.7).h(b + 6).t(b + 3)
+        c.cnot(b + 1, b).crz(b + 6, b + 2, 0.5).swap(b, b + 4)
+        c.rz(b + 5, 1.1).h(b + 4).cnot(b + 2, b + 6).s(b)
+        return c
+
+    @pytest.mark.parametrize("n", [15, 16, 17])
+    def test_window_vs_xla(self, n, rng):
+        psi0 = random_state(n, rng).astype(np.complex64)
+        c = self._window_circuit(n)
+        got = self._run(c, psi0)
+        np.testing.assert_allclose(got, xla_apply(c, psi0), atol=2e-6)
+
+    def test_window_plans_as_mmt(self):
+        import tpu_qsim.kernels.fused_circuit as fc
+
+        old = fc.TOP_WINDOW_MIN
+        fc.TOP_WINDOW_MIN = 2
+        try:
+            ops, table = fc.materialize_ops(
+                self._window_circuit(16).gates, n_bits=16
+            )
+        finally:
+            fc.TOP_WINDOW_MIN = old
+        kinds = [op[0] for op in ops]
+        assert "mmt" in kinds
+        assert table is not None
+
+    def test_bf16x3_mode_accuracy(self, rng):
+        # the 3-pass split must stay in the 1e-6 class on normalized states
+        n = 16
+        psi0 = random_state(n, rng).astype(np.complex64)
+        c = self._window_circuit(n)
+        got = self._run(c, psi0, dot_mode="bf16x3")
+        np.testing.assert_allclose(got, xla_apply(c, psi0), atol=5e-6)
+
+    def test_mixed_with_low_gates_vs_oracle(self, rng):
+        # windows must interleave correctly with lane/rowb/cross-class gates
+        n = 16
+        psi0 = random_state(n, rng).astype(np.complex64)
+        c = Circuit(n)
+        c.h(0).cnot(3, 12).h(14).x(15).cnot(14, 9).ry(13, 0.4)
+        c.h(10).cnot(15, 14).t(12).swap(2, 5).crz(9, 15, 0.8).h(11)
+        got = self._run(c, psi0)
+        np.testing.assert_allclose(got, xla_apply(c, psi0), atol=2e-6)

@@ -231,3 +231,29 @@ class TestPlannerNoHang:
         c.add(name, 14, 13, 12, 11, 10)  # all five top bits move
         with pytest.raises(ValueError, match="top qubits"):
             plan_sweeps(c, 15, params)
+
+
+class TestTopWindowInSweeps:
+    """Low-sweep kernels at >= 15 bits must form "mmt" top-row windows and
+    stay oracle-exact with ext bits in play (production: the 21-bit low
+    kernels at 26q and the stacked active tops of high kernels)."""
+
+    P15 = SweepParams(k_bits=1, rb_bits=4)  # n=16 -> low kernel = 15 bits
+
+    def test_high_bit_run_vs_oracle(self):
+        import tpu_qsim.kernels.fused_circuit as fc
+
+        n = 16
+        c = Circuit(n)
+        # a run on bits 8..14 (the low kernel's top-7 group) + top bit 15
+        # traffic + low-bit gates
+        c.h(8).x(9).ry(10, 0.7).h(14).t(11).cnot(9, 8).swap(8, 12)
+        c.rz(13, 1.1).h(12).cnot(10, 14).s(8).crz(14, 10, 0.5)
+        c.h(15).cnot(15, 3).h(0).cnot(2, 6)
+        old = fc.TOP_WINDOW_MIN
+        fc.TOP_WINDOW_MIN = 2
+        try:
+            ours, prog = run_sweeps(c, self.P15)
+        finally:
+            fc.TOP_WINDOW_MIN = old
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6

@@ -345,6 +345,31 @@ def _emit_2q_row(
     return acc_r.reshape(rows, LANES), acc_i.reshape(rows, LANES)
 
 
+# Window-matmul pass count. "highest" = XLA f32 (6 bf16 MXU passes);
+# "bf16x3" = hand-split two-term product (3 passes, ~2x faster, ~1e-8-class
+# absolute amplitude error per window on normalized states — Mosaic has no
+# lowering for jax.lax.Precision.HIGH, so the split is explicit).
+WINDOW_DOT = "highest"
+
+
+def _win_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    if WINDOW_DOT == "bf16x3":
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda p, q: jnp.dot(  # noqa: E731
+            p, q, preferred_element_type=jnp.float32
+        )
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    return jnp.dot(
+        a,
+        b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _emit_lane_window(
     xr: jax.Array,
     xi: jax.Array,
@@ -361,17 +386,41 @@ def _emit_lane_window(
     regardless of how many gates it absorbed. Complex U uses the 3-multiply
     (Karatsuba) form.
     """
-    dot = lambda x, w: jnp.dot(  # noqa: E731
-        x,
-        w,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    dot = lambda x, w: _win_dot(x, w)  # noqa: E731
     if wi is None:
         return dot(xr, wr), dot(xi, wr)
     t1 = dot(xr, wr)
     t2 = dot(xi, wi)
     t3 = dot(xr + xi, wr + wi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _emit_top_window(
+    xr: jax.Array,
+    xi: jax.Array,
+    wr: jax.Array,
+    wi: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """A fused run of gates on the top 7 row bits as ONE leading-axis MXU
+    contraction: view the (R, 128) plane as (128, R) — leading axis = the 7
+    highest kernel bits — and compute y = U @ x (no slab loop; the reshape
+    is layout-free on the leading dims and the matmul runs at the MXU
+    roofline, measured ~29 TFLOP/s at f32-HIGHEST on a 21-bit kernel).
+
+    This is the missing third window class the round-2 VERDICT identified:
+    gates on kernel bits >= 14 — including the stacked active-top bits of
+    high sweeps (kernels/sweeps.py) — previously ran as ~2-op VPU singles
+    that dominated 26q wall-clock."""
+    rows = xr.shape[0]
+
+    def bdot(w, x):
+        return _win_dot(w, x.reshape(LANES, rows)).reshape(rows, LANES)
+
+    if wi is None:
+        return bdot(wr, xr), bdot(wr, xi)
+    t1 = bdot(wr, xr)
+    t2 = bdot(wi, xi)
+    t3 = bdot(wr + wi, xr + xi)
     return t1 - t2, t3 - t1 - t2
 
 
@@ -521,6 +570,11 @@ def _emit_gate_generic(
 # extra per-slab loop, so their floor is higher).
 LANE_WINDOW_MIN = 3
 ROW_WINDOW_MIN = 4
+# Top-row windows compete with the ~2-op direct half-plane singles, the
+# cheapest emission class: measured on-chip at a 21-bit kernel, one 128-wide
+# window matmul costs ~10 direct-row singles at f32-HIGHEST precision and
+# ~5 at bf16x3 (see docs/PERF_NOTES.md).
+TOP_WINDOW_MIN = 10
 # Row windows unroll their slab loop up to this many slabs (best runtime);
 # larger kernels switch to a fori_loop over scratch refs — an unrolled
 # 128-slab window was the dominant Mosaic compile cost at 21-bit kernels
@@ -539,6 +593,14 @@ def _window_class(gate, n_bits: int) -> str | None:
         LANE_BITS <= q < ROW_AXIS_BITS for q in gate.qubits
     ):
         return "rowb"
+    if n_bits > ROW_AXIS_BITS and all(
+        n_bits - LANE_BITS <= q < n_bits for q in gate.qubits
+    ):
+        # top-row window: the 7 highest kernel bits, realized by a single
+        # leading-axis (128, 128) @ (128, R) contraction (no slab loop).
+        # For kernels narrower than 21 bits the group dips into the rowb
+        # range; the rowb test above wins ties for pure mid-bit gates.
+        return "rowt"
     return None
 
 
@@ -549,26 +611,34 @@ def _plan_emission(gates, n_bits: int) -> list[tuple[str, object]]:
     ``("rowb", [Gate...])`` (all qubits in 7..13, when the state exposes a
     full 128-row axis), and ``("gate", Gate)``, in an order equivalent to
     program order under the conservative commutation rule of
-    :mod:`tpu_qsim.commute`. Frontier scheduling: whenever any window-class
-    gate is ready, drain every ready gate of that class (draining can ready
-    more) into one window.
+    :mod:`tpu_qsim.commute`. Frontier scheduling, biased toward BIG windows:
+    every ready non-windowable gate is emitted first (emitting one can only
+    ready more window members, never remove any), then the class with the
+    most ready gates opens a window and drains to fixpoint (draining can
+    ready more of the same class).
     """
     from ..commute import FrontierScheduler
 
     sched = FrontierScheduler(list(gates))
     items: list[tuple[str, object]] = []
     while not sched.done():
-        ready = sched.ready()
-        cls = next(
-            (c for i in ready
-             if (c := _window_class(sched.gates[i], n_bits)) is not None),
-            None,
-        )
-        if cls is None:
-            i = ready[0]
-            sched.emit(i)
-            items.append(("gate", sched.gates[i]))
-            continue
+        progressed = True
+        while progressed:
+            progressed = False
+            for i in sched.ready():
+                if _window_class(sched.gates[i], n_bits) is None:
+                    sched.emit(i)
+                    items.append(("gate", sched.gates[i]))
+                    progressed = True
+                    break
+        if sched.done():
+            break
+        counts: dict[str, int] = {}
+        for i in sched.ready():
+            c = _window_class(sched.gates[i], n_bits)
+            if c is not None:
+                counts[c] = counts.get(c, 0) + 1
+        cls = max(counts, key=lambda c: counts[c])
         window = []
         while True:
             nxt = [
@@ -615,12 +685,7 @@ def _emit_row_window(
     a_cnt = rows // LANES
 
     def mxu(w, slab):
-        return jnp.dot(
-            w,
-            slab,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        return _win_dot(w, slab)
 
     if interpret or a_cnt <= ROW_WINDOW_MAX_SLABS:
 
@@ -677,10 +742,11 @@ def materialize_ops(
     """Plan + constant-fold a gate list into kernel emission ops.
 
     ``n_bits`` is the per-kernel-instance state width (local_bits for the
-    segmented path); it gates the row-axis window class. Returns
-    ``(ops, const_table)``. Ops: ``("gate", u_c128, qubits)`` |
-    ``("mm"|"mmb", row_off_r, row_off_i_or_None)`` (lane / row-axis matmul
-    windows) | ``("diag", row_off_r, row_off_i_or_None)`` where row offsets
+    segmented path); it gates the row-axis and top-row window classes.
+    Returns ``(ops, const_table)``. Ops: ``("gate", u_c128, qubits)`` |
+    ``("mm"|"mmb"|"mmt", row_off_r, row_off_i_or_None)`` (lane / row-axis /
+    top-row matmul windows) | ``("diag", row_off_r, row_off_i_or_None)``
+    where row offsets
     index the (K, 128) float32 ``const_table`` (``None`` when no op needs
     constants). Pallas kernels cannot capture array constants, so window
     matrices/diagonals travel as one extra kernel input. Shared by the
@@ -731,6 +797,19 @@ def materialize_ops(
             else:
                 push_gates(window)
             continue
+        if kind == "rowt":
+            # top-row window: y = U @ x over the (128, R) leading-axis view
+            group = tuple(range(n_bits - 1, n_bits - LANE_BITS - 1, -1))
+            u = _compose_window(window, group)
+            if len(window) >= TOP_WINDOW_MIN and not _is_diagonal(u):
+                off_r = push(u.real)
+                off_i = push(u.imag) if np.any(u.imag) else None
+                ops.append(("mmt", off_r, off_i))
+            else:
+                # below breakeven (or fully diagonal): the direct half-plane
+                # singles are cheaper
+                push_gates(window)
+            continue
         # row-axis window: y[slab] = U @ x[slab] over (A, 128, 128) slabs
         u = _compose_window(window, _ROW_GROUP)
         if len(window) >= ROW_WINDOW_MIN and not _is_diagonal(u):
@@ -763,6 +842,10 @@ def emit_ops(
             wr = const_ref[op[1] : op[1] + LANES, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
             xr, xi = _emit_row_window(xr, xi, wr, wi, interpret)
+        elif op[0] == "mmt":
+            wr = const_ref[op[1] : op[1] + LANES, :]
+            wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
+            xr, xi = _emit_top_window(xr, xi, wr, wi)
         else:
             wr = const_ref[op[1] : op[1] + 1, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + 1, :]
