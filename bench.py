@@ -120,6 +120,8 @@ def _bench_row(n: int) -> dict:
         inner = None
     if n <= 18:
         backend = "pallas"
+    elif hasattr(inner, "num_sweeps"):
+        backend = "gridsweeps"
     elif hasattr(inner, "run_parts"):
         backend = "sweeps"
     else:

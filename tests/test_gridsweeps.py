@@ -1,0 +1,143 @@
+"""Active-bit grid sweep executor (kernels/gridsweeps.py): planner
+invariants and interpret-mode correctness vs the complex128 oracle.
+
+Production geometry (16-slice blocks of 512 rows) starts at 22 qubits — too
+large for CPU interpret — so these tests shrink the geometry
+(``GridParams``); the planner/relabeling/block-index logic is identical at
+every scale. On-chip certification runs via bench.py's per-size
+max-amp-err checks (the analog of the reference's differential suite,
+reference tests/test_gpu_cpu_equivalence.cu).
+"""
+
+import numpy as np
+import pytest
+
+import tpu_qsim as q
+import tpu_qsim.apply as ap
+from tpu_qsim.circuit import Circuit, Gate
+from tpu_qsim.gates import gate_matrix
+from tpu_qsim.kernels.gridsweeps import (
+    GridParams,
+    build_grid_sweep_run,
+    plan_grid_sweeps,
+)
+from tpu_qsim.kernels.sweeps import moving_qubits
+
+P = GridParams(rb_bits=3, a_max=2)   # blk_bits=10
+
+
+def oracle_state(circuit):
+    sim = q.CPUReferenceSimulator(circuit.num_qubits)
+    sim.run(circuit)
+    return sim.state
+
+
+def run_grid(circuit, params=P):
+    prog = build_grid_sweep_run(
+        circuit, np.float32, interpret=True, params=params
+    )
+    x = ap.initial_state(circuit.num_qubits, np.float32)
+    return np.asarray(ap.to_complex(prog.run(x))), prog
+
+
+class TestPlanner:
+    def test_active_budget_respected(self):
+        c = q.random_circuit(13, 80, seed=7)
+        plan = plan_grid_sweeps(c, 13, P)
+        high = frozenset(range(P.blk_bits, 13))
+        for s in plan:
+            assert len(s.active) <= P.a_max
+            for g in s.gates:
+                mv = moving_qubits(gate_matrix(g.name, g.param), g.qubits)
+                assert (mv & high) <= s.active
+
+    def test_plan_covers_all_gates(self):
+        c = q.random_circuit(13, 60, seed=3)
+        plan = plan_grid_sweeps(c, 13, P)
+        # swaps straddling the budget decompose; all other gates 1:1
+        n_out = sum(len(s.gates) for s in plan)
+        assert n_out >= len(c.gates)
+
+    def test_unified_shape_beats_lowhigh_split(self):
+        # a circuit mixing mid-bit and top-bit movers plans fewer sweeps
+        # than the bit-count would force under a rigid low/high split
+        c = Circuit(13)
+        c.h(10).h(11).cnot(0, 10).h(3).cnot(11, 2).rz(12, 0.4).h(5)
+        plan = plan_grid_sweeps(c, 13, P)
+        assert len(plan) <= 2
+
+    def test_overwide_dense_gate_raises(self):
+        from tpu_qsim.gates import register_gate
+
+        rng = np.random.default_rng(0)
+        m = rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))
+        qm, _ = np.linalg.qr(m)
+        register_gate("grid_dense3_test", qm, num_qubits=3)
+        c = Circuit(13)
+        c.append(Gate("grid_dense3_test", (10, 11, 12)))
+        with pytest.raises(ValueError, match="stacks at most"):
+            plan_grid_sweeps(c, 13, P)
+
+    def test_straddling_swap_decomposes(self):
+        # a swap moving more high bits than one sweep can stack
+        c = Circuit(13)
+        c.swap(10, 12)
+        plan = plan_grid_sweeps(c, 13, GridParams(rb_bits=3, a_max=1))
+        names = [g.name for s in plan for g in s.gates]
+        assert names.count("cnot") == 3
+
+
+class TestCorrectness:
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4])
+    def test_random_vs_oracle(self, seed):
+        c = q.random_circuit(13, 60, seed=seed)
+        ours, prog = run_grid(c)
+        assert prog.num_sweeps >= 2
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_all_gate_kinds(self):
+        c = Circuit(12)
+        c.h(0).x(11).y(5).z(10).s(3).t(7).rx(9, 0.3).ry(10, 1.1)
+        c.rz(4, 0.7).cnot(0, 11).cnot(10, 2).cz(3, 11).swap(2, 9)
+        c.cry(11, 4, 0.5).crz(1, 10, 0.9).toffoli(0, 11, 5).cp(10, 3, 0.4)
+        ours, _ = run_grid(c)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_ghz_and_qft(self):
+        for c in (q.ghz_circuit(12), q.qft_circuit(12)):
+            ours, _ = run_grid(c)
+            assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+    def test_deep_circuit(self):
+        c = q.random_circuit(12, 300, seed=11)
+        ours, _ = run_grid(c)
+        assert np.abs(ours - oracle_state(c)).max() < 2e-5
+
+    def test_chained_runs_compose(self):
+        c1 = q.random_circuit(12, 30, seed=5)
+        c2 = q.random_circuit(12, 30, seed=6)
+        p1 = build_grid_sweep_run(c1, np.float32, interpret=True, params=P)
+        p2 = build_grid_sweep_run(c2, np.float32, interpret=True, params=P)
+        x = ap.initial_state(12, np.float32)
+        y = np.asarray(ap.to_complex(p2.run(p1.run(x))))
+        both = Circuit(12)
+        for g in list(c1.gates) + list(c2.gates):
+            both.append(g)
+        assert np.abs(y - oracle_state(both)).max() < 5e-6
+
+    def test_production_a4_geometry(self):
+        # a_max=4 (production active width) at the smallest size it fits
+        params = GridParams(rb_bits=3, a_max=4)
+        c = q.random_circuit(15, 60, seed=9)
+        ours, prog = run_grid(c, params)
+        assert np.abs(ours - oracle_state(c)).max() < 5e-6
+
+
+class TestGeometry:
+    def test_rejects_non_f32(self):
+        with pytest.raises(ValueError, match="float32"):
+            build_grid_sweep_run(q.random_circuit(22, 4), np.float64)
+
+    def test_rejects_small_n_at_default_params(self):
+        with pytest.raises(ValueError, match="expects"):
+            build_grid_sweep_run(q.random_circuit(12, 4), np.float32)

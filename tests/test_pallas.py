@@ -210,17 +210,19 @@ class TestTopWindow:
     """The "rowt" MXU window (one leading-axis (128,128)@(128,R) matmul
     absorbing a run of gates on the top 7 kernel bits) must agree with the
     XLA engine — in both matmul pass modes. Window formation is forced by
-    shrinking TOP_WINDOW_MIN (production breakeven is ~10 gates)."""
+    shrinking the mmt entry of the window cost table (production breakeven
+    is ~10 direct-row singles)."""
 
     def _run(self, c, psi0, dot_mode="highest"):
         import tpu_qsim.kernels.fused_circuit as fc
 
-        old_min, old_dot = fc.TOP_WINDOW_MIN, fc.WINDOW_DOT
-        fc.TOP_WINDOW_MIN, fc.WINDOW_DOT = 2, dot_mode
+        old_cost, old_dot = fc._WINDOW_COST, fc.WINDOW_DOT
+        fc._WINDOW_COST = {**old_cost, "mmt": (2.0, 2.0)}
+        fc.WINDOW_DOT = dot_mode
         try:
             return pallas_apply(c, psi0)
         finally:
-            fc.TOP_WINDOW_MIN, fc.WINDOW_DOT = old_min, old_dot
+            fc._WINDOW_COST, fc.WINDOW_DOT = old_cost, old_dot
 
     def _window_circuit(self, n):
         # >= 10 gates confined to the top-7 group [n-7, n), mixing dense,
@@ -242,14 +244,14 @@ class TestTopWindow:
     def test_window_plans_as_mmt(self):
         import tpu_qsim.kernels.fused_circuit as fc
 
-        old = fc.TOP_WINDOW_MIN
-        fc.TOP_WINDOW_MIN = 2
+        old = fc._WINDOW_COST
+        fc._WINDOW_COST = {**old, "mmt": (2.0, 2.0)}
         try:
             ops, table = fc.materialize_ops(
                 self._window_circuit(16).gates, n_bits=16
             )
         finally:
-            fc.TOP_WINDOW_MIN = old
+            fc._WINDOW_COST = old
         kinds = [op[0] for op in ops]
         assert "mmt" in kinds
         assert table is not None

@@ -155,7 +155,9 @@ class TestValidation:
         fn = maybe_build_pallas_circuit_run(
             q.random_circuit(22, 3, seed=1), np.float32, cfg
         )
-        assert fn is not None and hasattr(fn, "run_parts")
+        # the overlapped grid engine now owns 22q+; the map engine remains
+        # the documented fallback for plans the grid planner rejects
+        assert fn is not None and hasattr(fn, "num_sweeps")
 
 
 class TestFallback:
@@ -250,10 +252,10 @@ class TestTopWindowInSweeps:
         c.h(8).x(9).ry(10, 0.7).h(14).t(11).cnot(9, 8).swap(8, 12)
         c.rz(13, 1.1).h(12).cnot(10, 14).s(8).crz(14, 10, 0.5)
         c.h(15).cnot(15, 3).h(0).cnot(2, 6)
-        old = fc.TOP_WINDOW_MIN
-        fc.TOP_WINDOW_MIN = 2
+        old = fc._WINDOW_COST
+        fc._WINDOW_COST = {**old, "mmt": (2.0, 2.0)}
         try:
             ours, prog = run_sweeps(c, self.P15)
         finally:
-            fc.TOP_WINDOW_MIN = old
+            fc._WINDOW_COST = old
         assert np.abs(ours - oracle_state(c)).max() < 5e-6

@@ -41,8 +41,15 @@ _DIAGONAL_NAMES = frozenset(
 )
 
 
-def qubit_classes(gate: Gate) -> tuple[int, ...]:
-    """Per-qubit commutation class, aligned with ``gate.qubits``."""
+def qubit_classes(gate) -> tuple[int, ...]:
+    """Per-qubit commutation class, aligned with ``gate.qubits``.
+
+    Accepts either a named :class:`~tpu_qsim.circuit.Gate` or any planner
+    object carrying a precomputed ``classes`` tuple (the matrix-backed
+    ``PGate`` of :mod:`tpu_qsim.kernels.fused_circuit`)."""
+    cls = getattr(gate, "classes", None)
+    if cls is not None:
+        return cls
     name = gate.name
     if name in _DIAGONAL_NAMES or name.startswith("mcz"):
         return (DIAG,) * len(gate.qubits)

@@ -72,9 +72,24 @@ def maybe_build_pallas_circuit_run(
         and n > MIN_PALLAS_QUBITS
         and (_on_tpu() or config_interpret(config))
     ):
+        from .gridsweeps import (
+            MAX_GRID_QUBITS,
+            MIN_GRID_QUBITS,
+            build_grid_sweep_run,
+        )
         from .segmented import MAX_SEGMENTED_QUBITS, build_segmented_run
         from .sweeps import MIN_SWEEP_QUBITS, MAX_SWEEP_QUBITS, build_sweep_run
 
+        if MIN_GRID_QUBITS + 1 <= n <= MAX_GRID_QUBITS:
+            # overlapped-streaming grid engine: measured faster than the
+            # staged map engine at every 22q+ bench size (grid pipeline
+            # hides kernel compute under the block streams)
+            try:
+                return build_grid_sweep_run(
+                    circuit, np.float32, interpret=config_interpret(config)
+                )
+            except ValueError:
+                pass  # e.g. a dense gate wider than the active budget
         if MIN_SWEEP_QUBITS <= n <= MAX_SWEEP_QUBITS:
             try:
                 return build_sweep_run(

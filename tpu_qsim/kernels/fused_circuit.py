@@ -564,17 +564,39 @@ def _emit_gate_generic(
     return acc_r, acc_i
 
 
-# Minimum gates in a window before the MXU matmul form pays for itself vs
-# emitting each gate as VPU ops (measured breakeven; a real-U 128-window
-# matmul costs ~1.5-2 lane gates, complex ~2.5; row-axis windows pay an
-# extra per-slab loop, so their floor is higher).
-LANE_WINDOW_MIN = 3
-ROW_WINDOW_MIN = 4
-# Top-row windows compete with the ~2-op direct half-plane singles, the
-# cheapest emission class: measured on-chip at a 21-bit kernel, one 128-wide
-# window matmul costs ~10 direct-row singles at f32-HIGHEST precision and
-# ~5 at bf16x3 (see docs/PERF_NOTES.md).
-TOP_WINDOW_MIN = 10
+# Cost model for window emission, in units of one diagonal single (~1-2 VPU
+# ops over the plane). A window matmul pays a FIXED cost regardless of how
+# many gates it absorbed, so a window is emitted when the summed single-
+# emission cost of its members clears the matmul's cost. Measured on-chip
+# (docs/PERF_NOTES.md): a real lane window ~= 2 lane singles; a real top-row
+# window ~= 10 direct half-plane singles at f32-HIGHEST; complex windows use
+# the 3-multiply form (~1.7x). Row-axis windows add a per-slab loop.
+_WINDOW_COST = {  # kind -> (real-U cost, complex-U cost)
+    "mm": (6.0, 10.0),
+    "mmb": (12.0, 20.0),
+    "mmt": (20.0, 34.0),
+}
+
+
+def _single_cost(u: np.ndarray, qubits: tuple[int, ...]) -> float:
+    """Estimated VPU emission cost of one gate in diag-single units."""
+    if _is_diagonal(u):
+        return 1.0
+    v = _controlled_split(u)
+    if v is not None:
+        return 1.0 + _single_cost(v, qubits[1:])
+    k = len(qubits)
+    if k == 1:
+        return 2.0 if qubits[0] >= _DIRECT_ROW_MIN else 3.0
+    if k == 2 and min(qubits) >= _DIRECT_ROW_MIN:
+        return 4.0
+    return 3.0 * (1 << (k - 1))
+
+
+def _window_pays(kind: str, window, u: np.ndarray) -> bool:
+    wr, wc = _WINDOW_COST[kind]
+    bar = wc if np.any(u.imag) else wr
+    return sum(_single_cost(g.u, g.qubits) for g in window) >= bar
 # Row windows unroll their slab loop up to this many slabs (best runtime);
 # larger kernels switch to a fori_loop over scratch refs — an unrolled
 # 128-slab window was the dominant Mosaic compile cost at 21-bit kernels
@@ -602,6 +624,144 @@ def _window_class(gate, n_bits: int) -> str | None:
         # range; the rowb test above wins ties for pure mid-bit gates.
         return "rowt"
     return None
+
+
+def _q_class1(q: int, n_bits: int) -> str | None:
+    """Window class of a single qubit (the 1q-gate case of _window_class)."""
+    if q < LANE_BITS:
+        return "lane"
+    if n_bits >= ROW_AXIS_BITS and q < ROW_AXIS_BITS:
+        return "rowb"
+    if n_bits > ROW_AXIS_BITS and n_bits - LANE_BITS <= q < n_bits:
+        return "rowt"
+    return None
+
+
+class PGate:
+    """Planner gate: an explicit unitary + qubit tuple.
+
+    The emission planner works on these instead of named circuit gates so
+    rewrite passes can introduce synthetic gates (the W / W-dagger factors of
+    the cross-axis diagonalization below). ``classes`` carries the per-qubit
+    commutation classes consumed by :func:`tpu_qsim.commute.qubit_classes`.
+    """
+
+    __slots__ = ("u", "qubits", "classes")
+
+    def __init__(self, u: np.ndarray, qubits: tuple[int, ...], classes):
+        self.u = u
+        self.qubits = qubits
+        self.classes = classes
+
+
+def _to_pgates(gates) -> list[PGate]:
+    from ..commute import qubit_classes
+
+    return [
+        PGate(
+            gate_matrix(g.name, g.param).astype(np.complex128),
+            g.qubits,
+            qubit_classes(g),
+        )
+        for g in gates
+    ]
+
+
+def _split_controlled_1q(pg: PGate):
+    """Peel leading control qubits; return (controls, core_2x2, target) when
+    the gate is a (multi-)controlled non-diagonal 1q operation, else None."""
+    v = pg.u
+    qs = pg.qubits
+    ctrls: list[int] = []
+    while True:
+        s = _controlled_split(v)
+        if s is None:
+            break
+        ctrls.append(qs[0])
+        v = s
+        qs = qs[1:]
+    if len(qs) != 1 or not ctrls or _is_diagonal(v):
+        return None
+    return tuple(ctrls), v, qs[0]
+
+
+def _eig_1q(v: np.ndarray):
+    """Unitary eigendecomposition v = W diag(lam) W^dagger (2x2), or None."""
+    lam, vec = np.linalg.eig(v)
+    w = vec.astype(np.complex128).copy()
+    w[:, 0] /= np.linalg.norm(w[:, 0])
+    w[:, 1] -= (w[:, 0].conj() @ w[:, 1]) * w[:, 0]
+    nrm = np.linalg.norm(w[:, 1])
+    if nrm < 1e-9:
+        return None
+    w[:, 1] /= nrm
+    d = np.diag(lam)
+    if not np.allclose(w @ d @ w.conj().T, v, atol=1e-11):
+        return None
+    return w, lam
+
+
+def _rewrite_windowable(pgates: list[PGate], n_bits: int) -> list[PGate]:
+    """Cross-axis controlled gates -> W . controlled-diag . W-dagger.
+
+    A controlled gate whose control sits outside its target's window axis
+    (including out-of-kernel ``ext`` controls of the sweep/segment paths)
+    cannot join a matmul window and costs ~5 VPU ops as a controlled-select
+    single. Diagonalizing the 1q core (cnot -> H.CZ.H, cry -> W.c-diag.W†,
+    toffoli -> H.CCZ.H) turns it into two windowable 1q gates plus a
+    diagonal gate — and diagonal singles are the cheapest emission class
+    (~1-2 VPU ops, any control placement, ext-compatible).
+
+    Gated by a member pre-count per window class so the W factors don't land
+    as extra singles when no window would form anyway.
+    """
+    from ..commute import DIAG, OTHER
+
+    costs: dict[str, float] = {}
+    cands: dict[int, tuple] = {}
+    for i, pg in enumerate(pgates):
+        if _is_diagonal(pg.u):
+            continue
+        wc = _window_class(pg, n_bits)
+        if wc is not None:
+            costs[wc] = costs.get(wc, 0.0) + _single_cost(pg.u, pg.qubits)
+            continue
+        r = _split_controlled_1q(pg)
+        if r is None:
+            continue
+        ctrls, v, t = r
+        tc = _q_class1(t, n_bits)
+        if tc is None:
+            continue
+        e = _eig_1q(v)
+        if e is None:
+            continue
+        cands[i] = (ctrls, t, tc, e)
+        costs[tc] = costs.get(tc, 0.0) + 4.0   # the two W factors
+    # enable per class only when the projected member cost clears the
+    # complex-window emission bar — if no window forms, the W factors land
+    # as extra singles (measured regression at 24q when gated loosely)
+    _kind = {"lane": "mm", "rowb": "mmb", "rowt": "mmt"}
+    enabled = {
+        c for c, m in costs.items() if m >= _WINDOW_COST[_kind[c]][1]
+    }
+    if not enabled:
+        return pgates
+    out: list[PGate] = []
+    for i, pg in enumerate(pgates):
+        c = cands.get(i)
+        if c is None or c[2] not in enabled:
+            out.append(pg)
+            continue
+        ctrls, t, _, (w, lam) = c
+        k = len(ctrls) + 1
+        diagvec = np.ones(1 << k, dtype=np.complex128)
+        diagvec[-2] = lam[0]
+        diagvec[-1] = lam[1]
+        out.append(PGate(w.conj().T, (t,), (OTHER,)))
+        out.append(PGate(np.diag(diagvec), ctrls + (t,), (DIAG,) * k))
+        out.append(PGate(w, (t,), (OTHER,)))
+    return out
 
 
 def _plan_emission(gates, n_bits: int) -> list[tuple[str, object]]:
@@ -661,8 +821,7 @@ def _compose_window(gates, group: tuple[int, ...]) -> np.ndarray:
 
     u = np.eye(LANES, dtype=np.complex128)
     for g in gates:
-        gm = gate_matrix(g.name, g.param)
-        u = expand_matrix(gm, g.qubits, group) @ u
+        u = expand_matrix(g.u, g.qubits, group) @ u
     return u
 
 
@@ -756,6 +915,7 @@ def materialize_ops(
         n_bits = 1 + max(
             (q for g in gates for q in g.qubits), default=LANE_BITS
         )
+    pgates = _rewrite_windowable(_to_pgates(gates), n_bits)
     ops: list[tuple] = []
     rows: list[np.ndarray] = []
     offset = 0
@@ -769,12 +929,9 @@ def materialize_ops(
 
     def push_gates(window) -> None:
         for g in window:
-            ops.append(
-                ("gate", gate_matrix(g.name, g.param).astype(np.complex128),
-                 g.qubits)
-            )
+            ops.append(("gate", g.u, g.qubits))
 
-    for kind, payload in _plan_emission(gates, n_bits):
+    for kind, payload in _plan_emission(pgates, n_bits):
         if kind == "gate":
             push_gates([payload])
             continue
@@ -790,7 +947,7 @@ def materialize_ops(
                     push(d.imag.reshape(1, LANES)) if np.any(d.imag) else None
                 )
                 ops.append(("diag", off_r, off_i))
-            elif len(window) >= LANE_WINDOW_MIN:
+            elif _window_pays("mm", window, u):
                 off_r = push(u.real.T)
                 off_i = push(u.imag.T) if np.any(u.imag) else None
                 ops.append(("mm", off_r, off_i))
@@ -801,7 +958,7 @@ def materialize_ops(
             # top-row window: y = U @ x over the (128, R) leading-axis view
             group = tuple(range(n_bits - 1, n_bits - LANE_BITS - 1, -1))
             u = _compose_window(window, group)
-            if len(window) >= TOP_WINDOW_MIN and not _is_diagonal(u):
+            if not _is_diagonal(u) and _window_pays("mmt", window, u):
                 off_r = push(u.real)
                 off_i = push(u.imag) if np.any(u.imag) else None
                 ops.append(("mmt", off_r, off_i))
@@ -812,7 +969,7 @@ def materialize_ops(
             continue
         # row-axis window: y[slab] = U @ x[slab] over (A, 128, 128) slabs
         u = _compose_window(window, _ROW_GROUP)
-        if len(window) >= ROW_WINDOW_MIN and not _is_diagonal(u):
+        if not _is_diagonal(u) and _window_pays("mmb", window, u):
             off_r = push(u.real)
             off_i = push(u.imag) if np.any(u.imag) else None
             ops.append(("mmb", off_r, off_i))
