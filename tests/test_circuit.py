@@ -1,6 +1,7 @@
 """Circuit IR tests (analog of the builder/validation parts of the
 reference's test_gates.cu / test_boundary.cu suites)."""
 
+import numpy as np
 import pytest
 
 from tpu_qsim.circuit import (
@@ -114,3 +115,49 @@ class TestFactories:
     def test_random_single_qubit(self):
         c = random_circuit(1, 20, seed=3)
         assert all(g.arity == 1 for g in c)
+
+
+class TestInverse:
+    def test_inverse_restores_state(self):
+        import tpu_qsim as q
+
+        c = q.random_circuit(8, 60, seed=3)
+        # add the gate kinds random_circuit omits
+        c.s(0).t(3).sdg(5).tdg(1).cry(2, 6, 0.4).crz(0, 7, 0.9)
+        c.cp(1, 4, 0.3).swap(2, 5).toffoli(0, 1, 6).mcz(0, 2, 4, 6)
+        sim = q.CPUReferenceSimulator(8)
+        sim.run(c)
+        sim.run(c.inverse())
+        expected = np.zeros(1 << 8, dtype=np.complex128)
+        expected[0] = 1.0
+        np.testing.assert_allclose(sim.get_state(), expected, atol=1e-12)
+
+    def test_registered_gate_inverts_via_adjoint(self):
+        import tpu_qsim as q
+        from tpu_qsim.gates import register_gate
+
+        rng = np.random.default_rng(5)
+        m = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+        qm, _ = np.linalg.qr(m)
+        register_gate("inv_test_u2", qm, num_qubits=2)
+        c = Circuit(4).h(0).add("inv_test_u2", 1, 3).cnot(0, 2)
+        sim = q.CPUReferenceSimulator(4)
+        sim.run(c)
+        sim.run(c.inverse())
+        got = sim.get_state()
+        assert abs(got[0] - 1.0) < 1e-12
+        assert np.abs(got[1:]).max() < 1e-12
+
+    def test_registered_param_gate_raises(self):
+        from tpu_qsim.gates import register_gate
+
+        register_gate(
+            "inv_test_p1",
+            lambda t: np.array(
+                [[1, 0], [0, np.exp(1j * t)]], dtype=np.complex128
+            ),
+            num_qubits=1,
+        )
+        c = Circuit(2).add("inv_test_p1", 0, param=0.3)
+        with pytest.raises(ValueError, match="cannot invert"):
+            c.inverse()

@@ -47,8 +47,8 @@ class TestPlanner:
         high = frozenset(range(P.blk_bits, 13))
         for s in plan:
             assert len(s.active) <= P.a_max
-            for g in s.gates:
-                mv = moving_qubits(gate_matrix(g.name, g.param), g.qubits)
+            for g in s.gates:   # planner gates carry explicit matrices
+                mv = moving_qubits(g.u, g.qubits)
                 assert (mv & high) <= s.active
 
     def test_plan_covers_all_gates(self):
@@ -83,8 +83,14 @@ class TestPlanner:
         c = Circuit(13)
         c.swap(10, 12)
         plan = plan_grid_sweeps(c, 13, GridParams(rb_bits=3, a_max=1))
-        names = [g.name for s in plan for g in s.gates]
-        assert names.count("cnot") == 3
+        cnot_u = gate_matrix("cnot")
+        n_cnot = sum(
+            1
+            for s in plan
+            for g in s.gates
+            if g.u.shape == (4, 4) and not np.any(g.u - cnot_u)
+        )
+        assert n_cnot == 3
 
 
 class TestCorrectness:

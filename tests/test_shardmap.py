@@ -158,3 +158,26 @@ class TestEngineOption:
 
         with pytest.raises(ValueError, match="engine"):
             ShardedStateVectorSimulator(16, engine="bogus")
+
+    @pytest.mark.parametrize("n,rb,amax", [(16, 3, 2), (17, 3, 3)])
+    def test_sweeps_engine_via_simulator(self, n, rb, amax):
+        # sweep x sharding composition: block swaps ride the mesh between
+        # segments, each segment's local gates run through the grid-sweep
+        # kernel engine (shrunk geometry, interpret mode)
+        from tpu_qsim import SimConfig
+        from tpu_qsim.kernels.gridsweeps import GridParams
+        from tpu_qsim.parallel import ShardedStateVectorSimulator
+
+        cfg = SimConfig(dtype="complex64", pallas_interpret=True)
+        sim = ShardedStateVectorSimulator(
+            n,
+            config=cfg,
+            engine="sweeps",
+            grid_params=GridParams(rb_bits=rb, a_max=amax),
+        )
+        c = random_circuit(n, 50, seed=4)
+        sim.run(c)
+        ora = CPUReferenceSimulator(n)
+        ora.run(c)
+        err = np.abs(sim.get_state() - ora.get_state()).max()
+        assert err < 5e-6

@@ -133,3 +133,67 @@ class TestMCWFMatchesDensityMatrix:
         mcwf = np.asarray(bs.average_probabilities())
 
         np.testing.assert_allclose(mcwf, exact, atol=0.03)
+
+    def test_non_coinciding_regime_policy_all(self):
+        # THE regime where the reference's two conventions disagree: a
+        # channel on a qubit the gates never touch. Under a unified
+        # insertion="all" policy on BOTH backends the ensemble average must
+        # still match the exact Kraus evolution.
+        from tpu_qsim.density import DensityMatrixSimulator
+        from tpu_qsim.noise import NoiseModel
+        from tpu_qsim.noisy import BatchedSimulator
+
+        nm = NoiseModel().add_amplitude_damping(0.2, 2)
+        circuit = Circuit(3).h(0).cnot(0, 1).t(1)   # never touches qubit 2
+
+        dm = DensityMatrixSimulator(3, nm, CFG, insertion="all")
+        dm.set_state(np.full(8, 1 / np.sqrt(8)))
+        dm.run(circuit)
+        exact = np.asarray(dm.probabilities())
+
+        bs = BatchedSimulator(3, 6000, nm, CFG, seed=5, insertion="all")
+        bs.set_state(np.full(8, 1 / np.sqrt(8)))
+        bs.run(circuit)
+        mcwf = np.asarray(bs.average_probabilities())
+
+        np.testing.assert_allclose(mcwf, exact, atol=0.03)
+        # and the channel genuinely fired: qubit-2-excited mass decayed
+        p2 = exact.reshape(2, 4).sum(axis=1)[1]
+        assert p2 < 0.5 - 0.05
+
+    def test_non_coinciding_regime_policy_gate_qubits(self):
+        # Same circuit under the unified "gate_qubits" policy: the off-gate
+        # channel must NOT fire on either backend, and both must agree with
+        # the ideal evolution.
+        from tpu_qsim.density import DensityMatrixSimulator
+        from tpu_qsim.noise import NoiseModel
+        from tpu_qsim.noisy import NoisySimulator
+        from tpu_qsim.statevector import StateVectorSimulator
+
+        nm = NoiseModel().add_bit_flip(0.4, 2)
+        circuit = Circuit(3).h(0).cnot(0, 1).t(1)
+
+        ideal = StateVectorSimulator(3, CFG)
+        ideal.run(circuit)
+        expected = np.asarray(ideal.get_probabilities())
+
+        dm = DensityMatrixSimulator(3, nm, CFG)   # default gate_qubits
+        dm.run(circuit)
+        np.testing.assert_allclose(
+            np.asarray(dm.probabilities()), expected, atol=1e-5
+        )
+
+        ns = NoisySimulator(3, nm, CFG, seed=1, insertion="gate_qubits")
+        ns.run(circuit)
+        np.testing.assert_allclose(
+            np.asarray(ns.get_probabilities()), expected, atol=1e-5
+        )
+
+    def test_insertion_validation(self):
+        from tpu_qsim.density import DensityMatrixSimulator
+        from tpu_qsim.noisy import NoisySimulator, build_trajectory_step
+
+        with pytest.raises(ValueError, match="insertion"):
+            DensityMatrixSimulator(2, insertion="bogus")
+        with pytest.raises(ValueError, match="insertion"):
+            build_trajectory_step(Circuit(1).h(0), None, np.float32, "bogus")

@@ -101,6 +101,56 @@ class Circuit:
                 level[q] = new
         return max(level, default=0)
 
+    def inverse(self) -> "Circuit":
+        """The adjoint circuit: gates reversed, each replaced by its inverse.
+
+        ``c.inverse()`` after ``c`` restores any input state — the standard
+        self-certification for sizes where a full oracle state is
+        impractical (U-dagger U |0...0> = |0...0>). Library gates invert by
+        name/parameter; registered fixed-matrix gates auto-register a
+        ``<name>__dag`` adjoint. The reference has no analog (its circuits
+        are forward-only, reference include/Circuit.hpp:94-122)."""
+        from .gates import (
+            GATE_NAMES,
+            PARAM_GATES,
+            gate_matrix,
+            register_gate,
+        )
+
+        self_inverse = {
+            "i", "x", "y", "z", "h", "cnot", "cx", "cz", "swap",
+            "toffoli", "ccx",
+        }
+        pairs = {"s": "sdg", "sdg": "s", "t": "tdg", "tdg": "t"}
+        neg_param = {"rx", "ry", "rz", "p", "cry", "crz", "cp"}
+        inv = Circuit(self._num_qubits)
+        for g in reversed(self._gates):
+            nm = g.name
+            if (
+                nm in self_inverse
+                or nm.startswith("mcz")
+                or nm.startswith("mcx")
+            ):
+                inv.append(g)
+            elif nm in pairs:
+                inv.add(pairs[nm], *g.qubits)
+            elif nm in neg_param:
+                inv.add(nm, *g.qubits, param=-g.param)
+            elif nm in PARAM_GATES:
+                raise ValueError(
+                    f"cannot invert registered parameterized gate '{nm}'"
+                )
+            else:
+                dag = nm + "__dag"
+                if dag not in GATE_NAMES:
+                    register_gate(
+                        dag,
+                        gate_matrix(nm).conj().T,
+                        num_qubits=len(g.qubits),
+                    )
+                inv.add(dag, *g.qubits)
+        return inv
+
     def __repr__(self) -> str:
         return f"Circuit(num_qubits={self._num_qubits}, gates={len(self._gates)})"
 

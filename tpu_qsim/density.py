@@ -82,10 +82,14 @@ class DensityMatrixSimulator(BaseSimulator):
     """Exact noisy simulator on rho (TPU analog of reference
     ``DensityMatrixSimulator``, include/DensityMatrix.cuh:158-224).
 
-    Noise semantics follow the reference's DM simulator: after each gate,
-    every channel covering each of the gate's qubits is applied to that qubit
-    (reference src/DensityMatrix.cu:201-212, 269-296), with global channels
-    resolved to all qubits.
+    Noise semantics default to the reference's DM convention: after each
+    gate, every channel covering each of the gate's qubits is applied to
+    that qubit (``insertion="gate_qubits"``; reference src/DensityMatrix.cu:
+    201-212, 269-296), with global channels resolved to all qubits.
+    ``insertion="all"`` instead fires every registered application after
+    every gate — the reference NoisySimulator's convention — so MCWF and DM
+    can be cross-validated under ONE policy (the reference's two backends
+    silently disagreed; SURVEY quirk #2 and NoiseModel docstring).
     """
 
     def __init__(
@@ -95,14 +99,20 @@ class DensityMatrixSimulator(BaseSimulator):
         config: SimConfig = DEFAULT_CONFIG,
         *,
         seed: int = 0,
+        insertion: str = "gate_qubits",
     ):
         if not (1 <= num_qubits <= MAX_DM_QUBITS):
             raise ValueError(
                 f"density matrix supports 1..{MAX_DM_QUBITS} qubits, got "
                 f"{num_qubits}"
             )
+        if insertion not in ("all", "gate_qubits"):
+            raise ValueError(
+                f"insertion must be 'all' or 'gate_qubits', got {insertion!r}"
+            )
         super().__init__(num_qubits, config, seed=seed)
         self.noise_model = noise_model if noise_model is not None else NoiseModel()
+        self.insertion = insertion
         self._run_cache: dict[Any, Callable] = {}
         # self._state: (2, 4^n) flat planes over 2n index bits = |0..0><0..0|
         self._state = ap.initial_state(2 * self.num_qubits, self._rdtype)
@@ -161,7 +171,7 @@ class DensityMatrixSimulator(BaseSimulator):
     # -- execution ----------------------------------------------------------
 
     def _compiled_run(self, circuit: Circuit) -> Callable:
-        key = (circuit.signature(), self.noise_model.signature())
+        key = (circuit.signature(), self.noise_model.signature(), self.insertion)
         fn = self._run_cache.get(key)
         if fn is None:
             fn = self._build_run(circuit)
@@ -176,15 +186,22 @@ class DensityMatrixSimulator(BaseSimulator):
                                      self._rdtype)
             ops.append(("gate", g.qubits, g.diagonal, ur, ui))
             if self.noise_model.has_noise():
-                for q in g.qubits:
-                    for ch in self.noise_model.channels_for_qubit(q):
-                        if ch.probability == 0.0:
-                            continue
-                        kraus = [
-                            ap.split_matrix(k, self._rdtype)
-                            for k in kraus_operators(ch.type, ch.probability)
-                        ]
-                        ops.append(("kraus", q, kraus))
+                if self.insertion == "gate_qubits":
+                    apps = [
+                        (ch.type, q, ch.probability)
+                        for q in g.qubits
+                        for ch in self.noise_model.channels_for_qubit(q)
+                    ]
+                else:   # "all": the reference NoisySimulator's convention
+                    apps = self.noise_model.applications_per_gate(n)
+                for ntype, q, p in apps:
+                    if p == 0.0:
+                        continue
+                    kraus = [
+                        ap.split_matrix(k, self._rdtype)
+                        for k in kraus_operators(ntype, p)
+                    ]
+                    ops.append(("kraus", q, kraus))
 
         def step(rho: jax.Array) -> jax.Array:
             for op in ops:

@@ -46,6 +46,10 @@ from ..gates import gate_matrix
 LANE_BITS = 7          # qubits 0..6 live on the 128-lane axis
 LANES = 1 << LANE_BITS
 
+# external-bit tokens: qubit ids >= EXT_BASE + p denote out-of-kernel state
+# bit p, resolved from a per-call/per-step scalar (sweep/segment kernels)
+EXT_BASE = 64
+
 # Ceiling set by Mosaic compile time, not VMEM: kernel compile scales
 # superlinearly with the per-op tile count (round-1 generic emission:
 # 12q 1.5s, 16q 26s, 19q >17min through the remote compiler; the v2
@@ -564,39 +568,78 @@ def _emit_gate_generic(
     return acc_r, acc_i
 
 
-# Cost model for window emission, in units of one diagonal single (~1-2 VPU
-# ops over the plane). A window matmul pays a FIXED cost regardless of how
-# many gates it absorbed, so a window is emitted when the summed single-
-# emission cost of its members clears the matmul's cost. Measured on-chip
-# (docs/PERF_NOTES.md): a real lane window ~= 2 lane singles; a real top-row
-# window ~= 10 direct half-plane singles at f32-HIGHEST; complex windows use
-# the 3-multiply form (~1.7x). Row-axis windows add a per-slab loop.
-_WINDOW_COST = {  # kind -> (real-U cost, complex-U cost)
-    "mm": (6.0, 10.0),
-    "mmb": (12.0, 20.0),
-    "mmt": (20.0, 34.0),
+# Cost model for window emission. A window matmul pays a FIXED cost
+# regardless of how many gates it absorbed, so a window is emitted when the
+# summed single-emission cost of its members clears the matmul's cost.
+# Costs are ENGINE-PROFILE dependent — the grid-sweep pipeline overlaps the
+# first chunk of compute under its block streams and runs at different
+# operand shapes than the VMEM-resident whole-state kernels:
+#
+# * "kernel" profile (whole-circuit / map-sweep / segmented paths), units of
+#   one diagonal single: lane window ~2-3 lane singles, top-row window ~10
+#   direct-row singles (docs/PERF_NOTES.md, 21-bit kernel measurements).
+# * "grid" profile (gridsweeps), units of us per op over a full 26q state,
+#   measured per-class on-chip (round-3 calibration): lane windows are
+#   nearly free (~25-35us total — they pipeline at MXU rate under the
+#   stream) while top-row windows pay a relayout (~2000-2800us).
+_WINDOW_COST = {  # "kernel" profile: kind -> (real-U cost, complex-U cost)
+    "mm": (6.0, 6.0),
+    "mmb": (8.0, 8.0),
+    "mmt": (20.0, 20.0),
+}
+_SINGLE_COST = {  # "kernel" profile single-gate costs
+    "diag": 1.0, "lane1": 3.0, "row1": 2.0, "low1": 3.0,
+    "ctrl_step": 1.0, "row2": 4.0, "k_base": 3.0,
+}
+_GRID_WINDOW_COST = {
+    "mm": (35.0, 60.0),
+    "mmb": (720.0, 1200.0),
+    "mmt": (2030.0, 2830.0),
+}
+_GRID_SINGLE_COST = {
+    "diag": 75.0, "lane1": 370.0, "row1": 170.0, "low1": 200.0,
+    "ctrl_step": 75.0, "row2": 300.0, "k_base": 250.0,
 }
 
 
-def _single_cost(u: np.ndarray, qubits: tuple[int, ...]) -> float:
-    """Estimated VPU emission cost of one gate in diag-single units."""
+# The W.cdiag.W-dagger rewrite measured as a net loss on the segmented 20q
+# path (0.286 vs 0.230 ms without) and unproven elsewhere; profiles opt in.
+REWRITE_PROFILES: frozenset = frozenset()
+# Ext-phase fusion: fold all out-of-kernel diagonal gates into one scalar
+# complex multiply per kernel (cannot lose: replaces >= 1 plane-op each).
+EXT_PHASE_FUSION = True
+
+
+def _cost_tables(profile: str):
+    if profile == "grid":
+        return _GRID_WINDOW_COST, _GRID_SINGLE_COST
+    return _WINDOW_COST, _SINGLE_COST
+
+
+def _single_cost(u: np.ndarray, qubits: tuple[int, ...], sc=None) -> float:
+    """Estimated VPU emission cost of one gate under a profile table."""
+    sc = _SINGLE_COST if sc is None else sc
     if _is_diagonal(u):
-        return 1.0
+        return sc["diag"]
     v = _controlled_split(u)
     if v is not None:
-        return 1.0 + _single_cost(v, qubits[1:])
+        return sc["ctrl_step"] + _single_cost(v, qubits[1:], sc)
     k = len(qubits)
     if k == 1:
-        return 2.0 if qubits[0] >= _DIRECT_ROW_MIN else 3.0
+        q = qubits[0]
+        if q < LANE_BITS:
+            return sc["lane1"]
+        return sc["row1"] if q >= _DIRECT_ROW_MIN else sc["low1"]
     if k == 2 and min(qubits) >= _DIRECT_ROW_MIN:
-        return 4.0
-    return 3.0 * (1 << (k - 1))
+        return sc["row2"]
+    return sc["k_base"] * (1 << (k - 1))
 
 
-def _window_pays(kind: str, window, u: np.ndarray) -> bool:
-    wr, wc = _WINDOW_COST[kind]
+def _window_pays(kind: str, window, u: np.ndarray, profile: str) -> bool:
+    wc_table, sc = _cost_tables(profile)
+    wr, wc = wc_table[kind]
     bar = wc if np.any(u.imag) else wr
-    return sum(_single_cost(g.u, g.qubits) for g in window) >= bar
+    return sum(_single_cost(g.u, g.qubits, sc) for g in window) >= bar
 # Row windows unroll their slab loop up to this many slabs (best runtime);
 # larger kernels switch to a fori_loop over scratch refs — an unrolled
 # 128-slab window was the dominant Mosaic compile cost at 21-bit kernels
@@ -654,17 +697,46 @@ class PGate:
         self.classes = classes
 
 
-def _to_pgates(gates) -> list[PGate]:
+def matrix_classes(u: np.ndarray, qubits: tuple[int, ...]) -> tuple:
+    """Conservative per-qubit commutation classes derived from a matrix
+    (for gates that arrive without a library name): diagonal axes commute
+    as DIAG, peeled control axes as DIAG, everything else OTHER."""
+    from ..commute import DIAG, OTHER
+
+    if _is_diagonal(u):
+        return (DIAG,) * len(qubits)
+    v = _controlled_split(u)
+    if v is not None:
+        return (DIAG,) + matrix_classes(v, qubits[1:])
+    return (OTHER,) * len(qubits)
+
+
+def as_pgates(gates) -> list[PGate]:
+    """Normalize a gate list to planner gates: named circuit Gates pick up
+    their library matrix + name-based commute classes; (matrix, qubits)
+    pairs and existing PGates pass through."""
     from ..commute import qubit_classes
 
-    return [
-        PGate(
-            gate_matrix(g.name, g.param).astype(np.complex128),
-            g.qubits,
-            qubit_classes(g),
-        )
-        for g in gates
-    ]
+    out = []
+    for g in gates:
+        if isinstance(g, PGate):
+            out.append(g)
+        elif isinstance(g, tuple):
+            u, qubits = g
+            u = np.asarray(u, dtype=np.complex128)
+            out.append(PGate(u, tuple(qubits), matrix_classes(u, qubits)))
+        else:
+            out.append(
+                PGate(
+                    gate_matrix(g.name, g.param).astype(np.complex128),
+                    g.qubits,
+                    qubit_classes(g),
+                )
+            )
+    return out
+
+
+_to_pgates = as_pgates
 
 
 def _split_controlled_1q(pg: PGate):
@@ -701,7 +773,9 @@ def _eig_1q(v: np.ndarray):
     return w, lam
 
 
-def _rewrite_windowable(pgates: list[PGate], n_bits: int) -> list[PGate]:
+def _rewrite_windowable(
+    pgates: list[PGate], n_bits: int, profile: str = "kernel"
+) -> list[PGate]:
     """Cross-axis controlled gates -> W . controlled-diag . W-dagger.
 
     A controlled gate whose control sits outside its target's window axis
@@ -717,6 +791,8 @@ def _rewrite_windowable(pgates: list[PGate], n_bits: int) -> list[PGate]:
     """
     from ..commute import DIAG, OTHER
 
+    wc_table, sc = _cost_tables(profile)
+    w1 = {"lane": sc["lane1"], "rowb": sc["row1"], "rowt": sc["row1"]}
     costs: dict[str, float] = {}
     cands: dict[int, tuple] = {}
     for i, pg in enumerate(pgates):
@@ -724,7 +800,7 @@ def _rewrite_windowable(pgates: list[PGate], n_bits: int) -> list[PGate]:
             continue
         wc = _window_class(pg, n_bits)
         if wc is not None:
-            costs[wc] = costs.get(wc, 0.0) + _single_cost(pg.u, pg.qubits)
+            costs[wc] = costs.get(wc, 0.0) + _single_cost(pg.u, pg.qubits, sc)
             continue
         r = _split_controlled_1q(pg)
         if r is None:
@@ -737,14 +813,12 @@ def _rewrite_windowable(pgates: list[PGate], n_bits: int) -> list[PGate]:
         if e is None:
             continue
         cands[i] = (ctrls, t, tc, e)
-        costs[tc] = costs.get(tc, 0.0) + 4.0   # the two W factors
+        costs[tc] = costs.get(tc, 0.0) + 2.0 * w1[tc]   # the two W factors
     # enable per class only when the projected member cost clears the
     # complex-window emission bar — if no window forms, the W factors land
     # as extra singles (measured regression at 24q when gated loosely)
     _kind = {"lane": "mm", "rowb": "mmb", "rowt": "mmt"}
-    enabled = {
-        c for c, m in costs.items() if m >= _WINDOW_COST[_kind[c]][1]
-    }
+    enabled = {c for c, m in costs.items() if m >= wc_table[_kind[c]][1]}
     if not enabled:
         return pgates
     out: list[PGate] = []
@@ -896,7 +970,7 @@ def _emit_lane_diag(
 
 
 def materialize_ops(
-    gates, rdtype=np.float32, n_bits: int | None = None
+    gates, rdtype=np.float32, n_bits: int | None = None, profile: str = "kernel"
 ) -> tuple[list[tuple], np.ndarray | None]:
     """Plan + constant-fold a gate list into kernel emission ops.
 
@@ -915,7 +989,23 @@ def materialize_ops(
         n_bits = 1 + max(
             (q for g in gates for q in g.qubits), default=LANE_BITS
         )
-    pgates = _rewrite_windowable(_to_pgates(gates), n_bits)
+    pgates = _to_pgates(gates)
+    if profile in REWRITE_PROFILES:
+        pgates = _rewrite_windowable(pgates, n_bits, profile)
+    # Ext-phase fusion: a diagonal gate whose qubits are ALL out-of-kernel
+    # is lambda(ext) * I on the kernel state — it commutes with every kernel
+    # op, so the whole set folds into ONE complex scalar multiply (vs ~6 VPU
+    # plane-ops per gate emitted individually).
+    extphase = []
+    if EXT_PHASE_FUSION:
+        extphase = [
+            pg
+            for pg in pgates
+            if _is_diagonal(pg.u) and all(q >= EXT_BASE for q in pg.qubits)
+        ]
+    if extphase:
+        keep = set(map(id, extphase))
+        pgates = [pg for pg in pgates if id(pg) not in keep]
     ops: list[tuple] = []
     rows: list[np.ndarray] = []
     offset = 0
@@ -947,7 +1037,7 @@ def materialize_ops(
                     push(d.imag.reshape(1, LANES)) if np.any(d.imag) else None
                 )
                 ops.append(("diag", off_r, off_i))
-            elif _window_pays("mm", window, u):
+            elif _window_pays("mm", window, u, profile):
                 off_r = push(u.real.T)
                 off_i = push(u.imag.T) if np.any(u.imag) else None
                 ops.append(("mm", off_r, off_i))
@@ -958,7 +1048,7 @@ def materialize_ops(
             # top-row window: y = U @ x over the (128, R) leading-axis view
             group = tuple(range(n_bits - 1, n_bits - LANE_BITS - 1, -1))
             u = _compose_window(window, group)
-            if not _is_diagonal(u) and _window_pays("mmt", window, u):
+            if not _is_diagonal(u) and _window_pays("mmt", window, u, profile):
                 off_r = push(u.real)
                 off_i = push(u.imag) if np.any(u.imag) else None
                 ops.append(("mmt", off_r, off_i))
@@ -969,12 +1059,21 @@ def materialize_ops(
             continue
         # row-axis window: y[slab] = U @ x[slab] over (A, 128, 128) slabs
         u = _compose_window(window, _ROW_GROUP)
-        if not _is_diagonal(u) and _window_pays("mmb", window, u):
+        if not _is_diagonal(u) and _window_pays("mmb", window, u, profile):
             off_r = push(u.real)
             off_i = push(u.imag) if np.any(u.imag) else None
             ops.append(("mmb", off_r, off_i))
         else:
             push_gates(window)
+    if extphase:
+        ops.append(
+            (
+                "extphase",
+                tuple(
+                    (tuple(np.diagonal(pg.u)), pg.qubits) for pg in extphase
+                ),
+            )
+        )
     table = np.concatenate(rows, axis=0) if rows else None
     return ops, table
 
@@ -991,6 +1090,33 @@ def emit_ops(
     for op in ops:
         if op[0] == "gate":
             xr, xi = _emit_gate(xr, xi, op[1], op[2], n, interpret, ext)
+        elif op[0] == "extphase":
+            # one complex scalar multiply for ALL out-of-kernel diagonal
+            # gates: lambda = prod of each gate's diagonal entry selected by
+            # the ext bits (scalar select chains, negligible vs plane math)
+            lam_r = jnp.float32(1.0)
+            lam_i = jnp.float32(0.0)
+            for values, qubits in op[1]:
+                k = len(qubits)
+                vr = lam_r
+                vi = lam_i
+                gr = gi = None
+                for b, v in enumerate(values):
+                    cond = None
+                    for j, q in enumerate(qubits):
+                        want = (b >> (k - 1 - j)) & 1
+                        m = ext[q] != 0
+                        m = m if want else ~m
+                        cond = m if cond is None else cond & m
+                    er = jnp.float32(float(np.real(v)))
+                    ei = jnp.float32(float(np.imag(v)))
+                    gr = er if gr is None else jnp.where(cond, er, gr)
+                    gi = ei if gi is None else jnp.where(cond, ei, gi)
+                lam_r = vr * gr - vi * gi
+                lam_i = vr * gi + vi * gr
+            tr = lam_r * xr - lam_i * xi
+            xi = lam_r * xi + lam_i * xr
+            xr = tr
         elif op[0] == "mm":
             wr = const_ref[op[1] : op[1] + LANES, :]
             wi = None if op[2] is None else const_ref[op[2] : op[2] + LANES, :]
@@ -1020,7 +1146,21 @@ def build_pallas_run(
 
     Returns a jitted (2, 2^n) planes-state -> planes-state function.
     """
-    n = circuit.num_qubits
+    return build_pallas_run_gates(
+        circuit.gates, circuit.num_qubits, rdtype, interpret=interpret
+    )
+
+
+def build_pallas_run_gates(
+    gates,
+    n: int,
+    rdtype: np.dtype = np.float32,
+    *,
+    interpret: bool = False,
+) -> Callable[[jax.Array], jax.Array]:
+    """Same as :func:`build_pallas_run` for a raw gate list — named Gates,
+    (matrix, qubits) pairs, or PGates (see :func:`as_pgates`). Used by the
+    sharded executors, whose segments carry relabeled matrices."""
     if np.dtype(rdtype) != np.float32:
         raise ValueError("the Pallas kernel is float32-only")
     if not (MIN_PALLAS_QUBITS <= n <= HARD_MAX_PALLAS_QUBITS):
@@ -1029,7 +1169,7 @@ def build_pallas_run(
             f"{HARD_MAX_PALLAS_QUBITS} qubits, got {n}"
         )
     rows = 1 << (n - LANE_BITS)
-    ops, const_table = materialize_ops(circuit.gates, n_bits=n)
+    ops, const_table = materialize_ops(gates, n_bits=n)
 
     if const_table is None:
 

@@ -47,7 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..circuit import Circuit, Gate
 from ..gates import gate_matrix
-from .fused_circuit import LANE_BITS, emit_ops, materialize_ops
+from .fused_circuit import (
+    LANE_BITS,
+    PGate,
+    _SWAP_U,
+    as_pgates,
+    emit_ops,
+    materialize_ops,
+)
 from .sweeps import _EXT_BASE, _VMEM_LIMIT, MAX_SWEEP_GATES, moving_qubits
 
 RB_BITS = 9                      # row bits per slice: slice = bits [0, 16)
@@ -75,50 +82,55 @@ class GridParams:
 @dataclass
 class GridSweep:
     active: set = field(default_factory=set)   # moving state bits >= blk
-    gates: list[Gate] = field(default_factory=list)
+    gates: list[PGate] = field(default_factory=list)
 
 
 def plan_grid_sweeps(
-    circuit: Circuit,
+    circuit,
     n: int | None = None,
     params: GridParams = GridParams(),
     max_gates: int = MAX_SWEEP_GATES,
 ) -> list[GridSweep]:
     """Partition the circuit into active-bit sweeps via frontier scheduling.
 
-    A gate fits a sweep iff its moving qubits >= blk_bits fit the sweep's
-    active budget. Diagonal/controlled structure along high bits costs
-    nothing (ext resolution), so e.g. a CZ or a control anywhere always
-    rides the current sweep.
+    ``circuit`` is a :class:`~tpu_qsim.circuit.Circuit` or any gate list
+    :func:`~tpu_qsim.kernels.fused_circuit.as_pgates` accepts. A gate fits
+    a sweep iff its moving qubits >= blk_bits fit the sweep's active
+    budget. Diagonal/controlled structure along high bits costs nothing
+    (ext resolution), so e.g. a CZ or a control anywhere always rides the
+    current sweep.
     """
     from ..commute import FrontierScheduler
 
-    n = circuit.num_qubits if n is None else n
+    if isinstance(circuit, Circuit):
+        raw, n = circuit.gates, circuit.num_qubits if n is None else n
+    else:
+        raw = list(circuit)
+        if n is None:
+            raise ValueError("n is required for a raw gate list")
     high = frozenset(range(params.blk_bits, n))
     a_max = min(params.a_max, n - params.blk_bits)
 
-    gates: list[Gate] = []
-    for g in circuit.gates:
-        mv = moving_qubits(gate_matrix(g.name, g.param), g.qubits)
+    _cnot = None
+    gates: list[PGate] = []
+    for g in as_pgates(raw):
+        mv = moving_qubits(g.u, g.qubits)
         if len(mv & high) > a_max:
-            if g.name == "swap":
+            if g.u.shape[0] == 4 and not np.any(g.u - _SWAP_U):
+                if _cnot is None:
+                    _cnot = gate_matrix("cnot").astype(np.complex128)
                 a, b = g.qubits
-                gates += [
-                    Gate("cnot", (a, b)),
-                    Gate("cnot", (b, a)),
-                    Gate("cnot", (a, b)),
-                ]
+                gates += as_pgates(
+                    [(_cnot, (a, b)), (_cnot, (b, a)), (_cnot, (a, b))]
+                )
                 continue
             raise ValueError(
-                f"gate {g.name}{g.qubits} moves {len(mv & high)} high "
+                f"gate on {g.qubits} moves {len(mv & high)} high "
                 f"qubits; the grid engine stacks at most {a_max}"
             )
         gates.append(g)
 
-    mv_cache = [
-        moving_qubits(gate_matrix(g.name, g.param), g.qubits) & high
-        for g in gates
-    ]
+    mv_cache = [moving_qubits(g.u, g.qubits) & high for g in gates]
 
     sched = FrontierScheduler(gates)
     sweeps: list[GridSweep] = []
@@ -149,8 +161,8 @@ def plan_grid_sweeps(
 
 
 def _relabel_active(
-    gates: list[Gate], n: int, active: list[int], params: GridParams
-) -> list[Gate]:
+    gates: list[PGate], n: int, active: list[int], params: GridParams
+) -> list[PGate]:
     """blk bits direct; active bit (ascending) -> blk_bits + rank; all other
     high bits external."""
     rank = {p: i for i, p in enumerate(active)}
@@ -164,7 +176,7 @@ def _relabel_active(
                 qs.append(params.blk_bits + rank[q])
             else:
                 qs.append(_EXT_BASE + q)
-        out.append(Gate(g.name, tuple(qs), g.param))
+        out.append(PGate(g.u, tuple(qs), g.classes))
     return out
 
 
@@ -195,7 +207,12 @@ def _build_grid_sweep(
     inact = [p for p in range(BLK, n) if p not in active]
     steps = 1 << len(inact)
 
-    kgates = _relabel_active(sweep.gates, n, active, params)
+    kgates = _relabel_active(as_pgates(sweep.gates), n, active, params)
+    # NOTE: the 26q-calibrated "grid" cost profile measured WORSE at 22/24q
+    # than the kernel-profile ratios (1.51/5.99 vs 1.34/5.00 ms on-chip) and
+    # equal at 26q — the stream-overlap budget that shaped those numbers
+    # shrinks with state size, so the ratios don't transfer. The kernel
+    # profile is the better default at every measured size.
     ops, const_table = materialize_ops(kgates, n_bits=kbits)
 
     # multi-dim view: (2 planes, bit n-1, ..., bit BLK, RB, 128)
@@ -277,11 +294,12 @@ class GridSweepProgram:
 
     def __init__(
         self,
-        circuit: Circuit,
+        circuit,
         interpret: bool,
         params: GridParams = GridParams(),
+        num_qubits: int | None = None,
     ):
-        n = circuit.num_qubits
+        n = circuit.num_qubits if isinstance(circuit, Circuit) else num_qubits
         self.num_qubits = n
         self.params = params
         plan = plan_grid_sweeps(circuit, n, params)
@@ -306,14 +324,18 @@ class GridSweepProgram:
 
 
 def build_grid_sweep_run(
-    circuit: Circuit,
+    circuit,
     rdtype: np.dtype = np.float32,
     *,
     interpret: bool = False,
     params: GridParams | None = None,
+    num_qubits: int | None = None,
 ) -> GridSweepProgram:
-    """Compile ``circuit`` into the active-bit grid sweep pipeline."""
-    n = circuit.num_qubits
+    """Compile ``circuit`` (a Circuit, or any gate list ``as_pgates``
+    accepts plus ``num_qubits``) into the active-bit grid sweep pipeline."""
+    n = circuit.num_qubits if isinstance(circuit, Circuit) else num_qubits
+    if n is None:
+        raise ValueError("num_qubits is required for a raw gate list")
     if np.dtype(rdtype) != np.float32:
         raise ValueError("the grid sweep path is float32-only")
     if params is None:
@@ -326,4 +348,4 @@ def build_grid_sweep_run(
     else:
         if n <= params.blk_bits + 1:
             raise ValueError("n must exceed blk_bits + 1")
-    return GridSweepProgram(circuit, interpret, params)
+    return GridSweepProgram(circuit, interpret, params, num_qubits=n)

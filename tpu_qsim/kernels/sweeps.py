@@ -96,7 +96,7 @@ class SweepParams:
         return self.rb_bits + LANE_BITS
 # external-bit tokens: qubit ids >= _EXT_BASE + p denote out-of-kernel state
 # bit p, resolved from the per-call/per-step scalar
-_EXT_BASE = 64
+from .fused_circuit import EXT_BASE as _EXT_BASE  # single source of truth
 # Mosaic consumes its full vmem budget plus a few MB of operand frame; the
 # XLA scoped check (utils.SCOPED_VMEM_KIB = 112 MB) must sit ABOVE this.
 _VMEM_LIMIT = 100 * 1024 * 1024

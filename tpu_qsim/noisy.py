@@ -96,12 +96,17 @@ def build_trajectory_step(
     circuit: Circuit,
     noise_model: NoiseModel | None,
     rdtype: np.dtype,
+    insertion: str = "all",
 ) -> tuple[Callable[[jax.Array, jax.Array], jax.Array], int]:
     """Build the pure (state, key) -> state single-trajectory function.
 
     Returns (step_fn, num_random_draws). The function is vmap/jit friendly;
     gate matrices and channel tables are baked in as NumPy constants.
     """
+    if insertion not in ("all", "gate_qubits"):
+        raise ValueError(
+            f"insertion must be 'all' or 'gate_qubits', got {insertion!r}"
+        )
     gate_consts = []
     for g in unfused_circuit(circuit):
         ur, ui = ap.split_matrix(g.diag if g.diagonal else g.matrix, rdtype)
@@ -123,17 +128,30 @@ def build_trajectory_step(
                 ]
                 noise_apps.append(("kraus", q, kraus))
 
-    n_draws = len(gate_consts) * len(noise_apps)
+    # Insertion policy (see NoiseModel docstring): "all" fires every
+    # registered application after every gate (reference NoisySimulator,
+    # src/NoiseModel.cu:573-577); "gate_qubits" fires only applications on
+    # the gate's own qubits (reference DensityMatrixSimulator,
+    # src/DensityMatrix.cu:201-212). Exposing both on every backend lets
+    # MCWF and DM be cross-validated in the regimes where the reference's
+    # two conventions disagree.
+    per_gate_apps = [
+        noise_apps
+        if insertion == "all"
+        else [a for a in noise_apps if a[1] in qubits]
+        for qubits, _, _, _ in gate_consts
+    ]
+    n_draws = sum(len(a) for a in per_gate_apps)
 
     def step(state: jax.Array, key: jax.Array) -> jax.Array:
         keys = jax.random.split(key, n_draws) if n_draws else None
         ki = 0
-        for qubits, diagonal, ur, ui in gate_consts:
+        for (qubits, diagonal, ur, ui), apps in zip(gate_consts, per_gate_apps):
             if diagonal:
                 state = ap.apply_diagonal(state, ur, ui, qubits)
             else:
                 state = ap.apply_unitary(state, ur, ui, qubits)
-            for app in noise_apps:
+            for app in apps:
                 if app[0] == "mix":
                     _, q, probs, urs, uis = app
                     state = _apply_unitary_mix(state, keys[ki], probs, urs, uis, q)
@@ -157,16 +175,23 @@ class NoisySimulator(BaseSimulator):
         config: SimConfig = DEFAULT_CONFIG,
         *,
         seed: int = 0,
+        insertion: str = "all",
     ):
+        """``insertion``: noise-application policy — "all" (default;
+        reference NoisySimulator semantics) or "gate_qubits" (the reference
+        DM simulator's convention). See the NoiseModel docstring."""
         super().__init__(num_qubits, config, seed=seed)
         self.noise_model = noise_model if noise_model is not None else NoiseModel()
+        self.insertion = insertion
         self._run_cache: dict[Any, Callable] = {}
 
     def _compiled_run(self, circuit: Circuit) -> Callable:
-        key = (circuit.signature(), self.noise_model.signature())
+        key = (circuit.signature(), self.noise_model.signature(), self.insertion)
         fn = self._run_cache.get(key)
         if fn is None:
-            step, _ = build_trajectory_step(circuit, self.noise_model, self._rdtype)
+            step, _ = build_trajectory_step(
+                circuit, self.noise_model, self._rdtype, self.insertion
+            )
             fn = jax.jit(step, donate_argnums=(0,) if self.config.donate_state else ())
             self._run_cache[key] = fn
         return fn
@@ -198,12 +223,14 @@ class BatchedSimulator(BaseSimulator):
         config: SimConfig = DEFAULT_CONFIG,
         *,
         seed: int = 0,
+        insertion: str = "all",
     ):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
         super().__init__(num_qubits, config, seed=seed)
         self.batch_size = int(batch_size)
         self.noise_model = noise_model if noise_model is not None else NoiseModel()
+        self.insertion = insertion
         self._run_cache: dict[Any, Callable] = {}
         self._states = self._initial_batch()
 
@@ -220,10 +247,14 @@ class BatchedSimulator(BaseSimulator):
     # -- execution ----------------------------------------------------------
 
     def _compiled_run(self, circuit: Circuit) -> Callable:
-        cache_key = (circuit.signature(), self.noise_model.signature())
+        cache_key = (
+            circuit.signature(), self.noise_model.signature(), self.insertion
+        )
         fn = self._run_cache.get(cache_key)
         if fn is None:
-            step, _ = build_trajectory_step(circuit, self.noise_model, self._rdtype)
+            step, _ = build_trajectory_step(
+                circuit, self.noise_model, self._rdtype, self.insertion
+            )
             fn = jax.jit(
                 jax.vmap(step),
                 donate_argnums=(0,) if self.config.donate_state else (),

@@ -70,13 +70,20 @@ class ShardedStateVectorSimulator(StateVectorSimulator):
         *,
         engine: str = "gspmd",
         seed: int = 0,
+        grid_params=None,
     ):
         """``engine``: "gspmd" lets XLA insert collectives from sharding
         annotations; "collective" uses the explicit shard_map + all_to_all
-        schedule (:mod:`tpu_qsim.shardmap_engine`)."""
-        if engine not in ("gspmd", "collective"):
+        schedule (:mod:`tpu_qsim.shardmap_engine`); "sweeps" is the same
+        schedule with each segment's device-local gates compiled through
+        the single-chip kernel tier (whole-block VMEM kernel or the
+        grid-sweep engine for shards beyond VMEM) — the sweep x sharding
+        composition. ``grid_params`` shrinks the sweep geometry for
+        tests/dryruns."""
+        if engine not in ("gspmd", "collective", "sweeps"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
+        self.grid_params = grid_params
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
         self.axis = axis
         n_shards = int(np.prod([self.mesh.shape[a] for a in (axis,)]))
@@ -101,10 +108,20 @@ class ShardedStateVectorSimulator(StateVectorSimulator):
         self._state = self._place(self._state)
 
     def _dispatch_backend(self, circuit: Circuit) -> Callable:
-        if self.engine == "collective":
+        if self.engine in ("collective", "sweeps"):
             from .shardmap_engine import build_shardmap_run
 
-            return build_shardmap_run(circuit, self.mesh, self.axis, self._rdtype)
+            return build_shardmap_run(
+                circuit,
+                self.mesh,
+                self.axis,
+                self._rdtype,
+                local_engine="kernels" if self.engine == "sweeps" else "apply",
+                kernel_interpret=bool(
+                    getattr(self.config, "pallas_interpret", False)
+                ),
+                grid_params=self.grid_params,
+            )
         # GSPMD engine: the Pallas single-chip kernel does not apply; build
         # the XLA program and pin input/output shardings so XLA partitions it.
         if self.config.fuse:
@@ -180,7 +197,10 @@ class ShardedBatchedSimulator(BatchedSimulator):
         cache_key = (circuit.signature(), self.noise_model.signature(), "sharded")
         fn = self._run_cache.get(cache_key)
         if fn is None:
-            step, _ = build_trajectory_step(circuit, self.noise_model, self._rdtype)
+            step, _ = build_trajectory_step(
+                circuit, self.noise_model, self._rdtype,
+                getattr(self, "insertion", "all"),
+            )
             fn = jax.jit(
                 jax.vmap(step),
                 in_shardings=(self._sharding, self._key_sharding),

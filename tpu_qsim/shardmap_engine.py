@@ -188,15 +188,68 @@ def plan_victim_sandwich(
 # Executor
 # ---------------------------------------------------------------------------
 
+def _build_local_kernel(
+    seg_gates, local_bits: int, interpret: bool, grid_params
+) -> Callable | None:
+    """Compile one segment's (matrix, phys-qubits) gates into the kernel
+    tier for a (2, 2^local) shard block: the grid-sweep engine when the
+    block exceeds VMEM, the whole-block VMEM kernel when it fits, or None
+    to fall back to the per-gate XLA apply loop."""
+    from .kernels.fused_circuit import (
+        MAX_PALLAS_QUBITS,
+        MIN_PALLAS_QUBITS,
+        build_pallas_run_gates,
+    )
+    from .kernels.gridsweeps import (
+        MAX_GRID_QUBITS,
+        MIN_GRID_QUBITS,
+        build_grid_sweep_run,
+    )
+
+    pairs = [(mat, phys) for mat, phys in seg_gates]
+    try:
+        if grid_params is not None:
+            if local_bits > grid_params.blk_bits + 1:
+                return build_grid_sweep_run(
+                    pairs,
+                    np.float32,
+                    interpret=interpret,
+                    params=grid_params,
+                    num_qubits=local_bits,
+                ).run_state
+        elif MIN_GRID_QUBITS + 1 <= local_bits <= MAX_GRID_QUBITS:
+            return build_grid_sweep_run(
+                pairs, np.float32, interpret=interpret, num_qubits=local_bits
+            ).run_state
+        if MIN_PALLAS_QUBITS <= local_bits <= MAX_PALLAS_QUBITS:
+            return build_pallas_run_gates(
+                pairs, local_bits, np.float32, interpret=interpret
+            )
+    except ValueError:
+        pass
+    return None
+
+
 def build_shardmap_run(
     circuit: Circuit,
     mesh: Mesh,
     axis: str,
     rdtype: np.dtype,
+    *,
+    local_engine: str = "apply",
+    kernel_interpret: bool = False,
+    grid_params=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile ``circuit`` into a shard_map program over ``mesh[axis]``.
 
     Input/output: (2, 2^n) planes state sharded P(None, axis).
+
+    ``local_engine="apply"`` runs each segment's device-local gates as a
+    per-gate XLA loop; ``"kernels"`` compiles each segment through the
+    single-chip kernel tier (whole-block VMEM kernel, or the grid-sweep
+    engine when the shard exceeds VMEM) — the sweep x sharding composition:
+    block swaps ride ICI between segments, kernels own the HBM inside one.
+    ``grid_params`` (tests/dryrun) shrinks the grid-engine geometry.
     """
     n = circuit.num_qubits
     n_dev = mesh.shape[axis]
@@ -206,6 +259,8 @@ def build_shardmap_run(
     local_bits = n - g_bits
     if local_bits < SWAP_MIN + 2 * g_bits:
         raise ValueError("too few local bits for block-swap relabeling")
+    if local_engine not in ("apply", "kernels"):
+        raise ValueError(f"unknown local_engine {local_engine!r}")
     segments, final_pos = plan_blockswap_segments(circuit, g_bits)
     restore_ops = plan_restore_ops(final_pos, n, g_bits)
 
@@ -220,7 +275,14 @@ def build_shardmap_run(
             if seg.victims is not None
             else None
         )
-        seg_consts.append((sandwich, gates))
+        kfn = (
+            _build_local_kernel(
+                seg.gates, local_bits, kernel_interpret, grid_params
+            )
+            if local_engine == "kernels"
+            else None
+        )
+        seg_consts.append((sandwich, gates, kfn))
 
     def block_swap(block: jax.Array) -> jax.Array:
         # exchange the top-G local bits with the device axis
@@ -232,7 +294,7 @@ def build_shardmap_run(
     ident = _identity(local_bits)
 
     def step_local(block: jax.Array) -> jax.Array:
-        for sandwich, gates in seg_consts:
+        for sandwich, gates, kfn in seg_consts:
             if sandwich is not None:
                 lam, lam_inv = sandwich
                 if lam != ident:
@@ -240,8 +302,11 @@ def build_shardmap_run(
                 block = block_swap(block)
                 if lam_inv != ident:
                     block = ap.permute_qubits(block, lam_inv)
-            for phys, ur, ui in gates:
-                block = ap.apply_unitary(block, ur, ui, phys)
+            if kfn is not None:
+                block = kfn(block)
+            else:
+                for phys, ur, ui in gates:
+                    block = ap.apply_unitary(block, ur, ui, phys)
         for op in restore_ops:
             if op[0] == "swap":
                 block = block_swap(block)
@@ -250,10 +315,13 @@ def build_shardmap_run(
         return block
 
     sharding = NamedSharding(mesh, P(None, axis))
+    # check_vma=False: pallas_call outputs inside shard_map carry no
+    # varying-mesh-axes annotation; the specs above fully pin the layout
     mapped = shard_map(
         step_local,
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=P(None, axis),
+        check_vma=False,
     )
     return jax.jit(mapped, in_shardings=sharding, out_shardings=sharding)
