@@ -148,3 +148,44 @@ class TestCompileCache:
         a = sim._compiled_run(Circuit(2).rz(0, 0.1))
         b = sim._compiled_run(Circuit(2).rz(0, 0.2))
         assert a is not b
+
+
+class TestDeepCircuitPrecision:
+    """f32-planes error grows ~sqrt(depth) (measured: 2e-8 at 100 gates to
+    3e-7 at 4000, norm drift 10-40x larger than max-amp error — see
+    docs/PERF_NOTES.md). The renorm_every knob removes the norm-drift
+    component on the XLA path. Analog of the reference's 1000-gate
+    normalization check (reference tests/test_boundary.cu:197-212), which
+    had no mitigation to offer (complex128-only)."""
+
+    def test_renorm_knob_bounds_norm_drift(self):
+        import tpu_qsim as q
+        from tpu_qsim.config import SimConfig
+        from tpu_qsim.statevector import StateVectorSimulator
+
+        c = q.random_circuit(10, 1500, seed=11)
+        base = StateVectorSimulator(
+            10, SimConfig(dtype="complex64", use_pallas=False)
+        )
+        base.run(c)
+        drift0 = abs(float(base.total_probability()) - 1.0)
+
+        ren = StateVectorSimulator(
+            10,
+            SimConfig(dtype="complex64", use_pallas=False, renorm_every=25),
+        )
+        ren.run(c)
+        drift1 = abs(float(ren.total_probability()) - 1.0)
+        # renormalization must hold the final norm at the one-reduction
+        # rounding floor, at least as tight as unmitigated
+        assert drift1 <= max(drift0, 5e-7)
+        assert drift1 < 1e-6
+
+        # and it must not disturb the physics: amplitudes still match the
+        # complex128 oracle at the f32 depth-error class
+        ora = q.CPUReferenceSimulator(10)
+        ora.run(c)
+        import numpy as np
+
+        err = np.abs(np.asarray(ren.get_state()) - ora.get_state()).max()
+        assert err < 2e-6

@@ -186,3 +186,27 @@ class TestOracleFastPath:
         finally:
             cr._FAST_PATH_MIN_QUBITS = old
         np.testing.assert_allclose(fast.state, slow.state, atol=1e-13)
+
+
+class TestOracleDualMode:
+    """The large-n reshape-view oracle path vs the canonical pair-index
+    gather algorithm — the two must agree exactly in the regime where the
+    fast path certifies the on-chip engines (round-2 VERDICT: the certifying
+    oracle must not silently share machinery with the engine under test)."""
+
+    @pytest.mark.parametrize("n", [18, 19])
+    def test_fast_path_matches_pair_index(self, n):
+        c = random_circuit(n, 40, seed=21)
+        fast = CPUReferenceSimulator(n, use_fast_path=True)
+        fast.run(c)
+        slow = CPUReferenceSimulator(n, use_fast_path=False)
+        slow.run(c)
+        assert np.abs(fast.state - slow.state).max() < 1e-13
+
+    def test_forced_modes_at_small_n(self):
+        c = random_circuit(10, 60, seed=2)
+        fast = CPUReferenceSimulator(10, use_fast_path=True)
+        fast.run(c)
+        slow = CPUReferenceSimulator(10, use_fast_path=False)
+        slow.run(c)
+        assert np.abs(fast.state - slow.state).max() < 1e-14

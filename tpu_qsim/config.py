@@ -48,6 +48,14 @@ class SimConfig:
     # are acceptable for your circuit shapes (they cache persistently).
     pallas_whole_circuit_max: int = 18
     donate_state: bool = True
+    # Deep-circuit precision mitigation: renormalize the state every N gate
+    # groups on the XLA path (0 = never). f32-planes error grows ~sqrt(depth)
+    # and is dominated by norm drift (measured: drift 6.4e-6 / max-amp-err
+    # 1.6e-7 at 2000 gates, 1.3e-5 / 3.0e-7 at 4000; docs/PERF_NOTES.md);
+    # periodic renormalization removes the scale component at the cost of
+    # one reduction per N groups. The reference had no mitigation (complex128
+    # everywhere, reference include/StateVector.cuh:66).
+    renorm_every: int = 0
 
     @property
     def np_dtype(self) -> np.dtype:

@@ -29,11 +29,17 @@ _FAST_PATH_MIN_QUBITS = 18
 class CPUReferenceSimulator:
     """Dense complex128 state-vector simulator on the host."""
 
-    def __init__(self, num_qubits: int):
+    def __init__(self, num_qubits: int, *, use_fast_path: bool | None = None):
+        """``use_fast_path``: force (True) or forbid (False) the large-n
+        reshape-view path; None = size-based default. Forbidding it keeps
+        the canonical pair-index/gather algorithm — the independent
+        certifying oracle — at any size (the reshape path shares its
+        algorithmic family with the engine under test)."""
         if num_qubits < 1:
             raise ValueError("num_qubits must be >= 1")
         self.num_qubits = num_qubits
         self.dim = 1 << num_qubits
+        self.use_fast_path = use_fast_path
         self.state = np.zeros(self.dim, dtype=np.complex128)
         self.state[0] = 1.0
 
@@ -81,7 +87,12 @@ class CPUReferenceSimulator:
         k = len(qubits)
         if u.shape != (1 << k, 1 << k):
             raise ValueError("matrix shape does not match qubit count")
-        if self.num_qubits >= _FAST_PATH_MIN_QUBITS and k <= 2:
+        fast = (
+            self.use_fast_path
+            if self.use_fast_path is not None
+            else self.num_qubits >= _FAST_PATH_MIN_QUBITS
+        )
+        if fast and k <= 2:
             return self._apply_fast(np.asarray(u, dtype=np.complex128), qubits)
         targets = list(qubits)
         rest = [q for q in range(self.num_qubits) if q not in targets]

@@ -591,15 +591,17 @@ _SINGLE_COST = {  # "kernel" profile single-gate costs
     "diag": 1.0, "lane1": 3.0, "row1": 2.0, "low1": 3.0,
     "ctrl_step": 1.0, "row2": 4.0, "k_base": 3.0,
 }
+# Grid-profile window bars, settled by on-chip factorial A/B at 22-26q:
+# kernel-profile ratios for lane/row windows (the us-calibrated eager-lane
+# variant measured 16.1 vs 13.5 ms at 26q), with top-row windows barred
+# outright — their leading-axis reshape relayouts (~2000-2800us each at
+# 26q) never repay in the grid pipeline.
 _GRID_WINDOW_COST = {
-    "mm": (35.0, 60.0),
-    "mmb": (720.0, 1200.0),
-    "mmt": (2030.0, 2830.0),
+    "mm": (6.0, 10.0),
+    "mmb": (12.0, 20.0),
+    "mmt": (1e9, 1e9),
 }
-_GRID_SINGLE_COST = {
-    "diag": 75.0, "lane1": 370.0, "row1": 170.0, "low1": 200.0,
-    "ctrl_step": 75.0, "row2": 300.0, "k_base": 250.0,
-}
+_GRID_SINGLE_COST = dict(_SINGLE_COST)
 
 
 # The W.cdiag.W-dagger rewrite measured as a net loss on the segmented 20q

@@ -63,6 +63,14 @@ MIN_GRID_QUBITS = RB_BITS + LANE_BITS + A_MAX + 1   # 21
 MAX_GRID_QUBITS = 28
 
 
+def default_max_gates(n: int) -> int:
+    """Per-size kernel gate cap, settled by on-chip A/B (cap56 vs cap70 on
+    100-gate random circuits): bigger kernels (fewer sweeps) win through 25q
+    (22q 1.11 vs 1.19 ms, 24q 3.95 vs 4.64) but at 26q+ the larger compute
+    body overruns the stream-overlap budget (16.1 vs 13.4 ms)."""
+    return 70 if n <= 25 else MAX_SWEEP_GATES
+
+
 @dataclass(frozen=True)
 class GridParams:
     """Engine geometry — module defaults for production; tests shrink it."""
@@ -208,12 +216,12 @@ def _build_grid_sweep(
     steps = 1 << len(inact)
 
     kgates = _relabel_active(as_pgates(sweep.gates), n, active, params)
-    # NOTE: the 26q-calibrated "grid" cost profile measured WORSE at 22/24q
-    # than the kernel-profile ratios (1.51/5.99 vs 1.34/5.00 ms on-chip) and
-    # equal at 26q — the stream-overlap budget that shaped those numbers
-    # shrinks with state size, so the ratios don't transfer. The kernel
-    # profile is the better default at every measured size.
-    ops, const_table = materialize_ops(kgates, n_bits=kbits)
+    # The "grid" profile's measured costs bar top-row windows (relayout
+    # makes them ~2000-2800us each) and form lane windows eagerly (~25-35us
+    # total — they pipeline at MXU rate under the block streams). The
+    # factorial A/B that looked worse under this profile was confounded by
+    # the W-rewrite, which regressed 26q 13.5 -> 22.7 ms on its own.
+    ops, const_table = materialize_ops(kgates, n_bits=kbits, profile="grid")
 
     # multi-dim view: (2 planes, bit n-1, ..., bit BLK, RB, 128)
     vshape = (2,) + (2,) * hb + (RB, 128)
@@ -298,11 +306,14 @@ class GridSweepProgram:
         interpret: bool,
         params: GridParams = GridParams(),
         num_qubits: int | None = None,
+        max_gates: int | None = None,
     ):
         n = circuit.num_qubits if isinstance(circuit, Circuit) else num_qubits
         self.num_qubits = n
         self.params = params
-        plan = plan_grid_sweeps(circuit, n, params)
+        if max_gates is None:
+            max_gates = default_max_gates(n)
+        plan = plan_grid_sweeps(circuit, n, params, max_gates)
         self.num_sweeps = len(plan)
         self.active_sets = [sorted(s.active) for s in plan]
         self._fns = [
@@ -330,6 +341,7 @@ def build_grid_sweep_run(
     interpret: bool = False,
     params: GridParams | None = None,
     num_qubits: int | None = None,
+    max_gates: int | None = None,
 ) -> GridSweepProgram:
     """Compile ``circuit`` (a Circuit, or any gate list ``as_pgates``
     accepts plus ``num_qubits``) into the active-bit grid sweep pipeline."""
@@ -348,4 +360,6 @@ def build_grid_sweep_run(
     else:
         if n <= params.blk_bits + 1:
             raise ValueError("n must exceed blk_bits + 1")
-    return GridSweepProgram(circuit, interpret, params, num_qubits=n)
+    return GridSweepProgram(
+        circuit, interpret, params, num_qubits=n, max_gates=max_gates
+    )

@@ -29,11 +29,14 @@ from .fusion import FusedGate, fuse_circuit, unfused_circuit
 
 
 def build_xla_run_fn(
-    groups: list[FusedGate], rdtype: np.dtype, donate: bool
+    groups: list[FusedGate], rdtype: np.dtype, donate: bool,
+    renorm_every: int = 0,
 ) -> Callable[[jax.Array], jax.Array]:
     """Compile a fused group list into one jitted planes-state -> planes-state
     program. Group matrices are baked in as NumPy constants (host-composed in
-    complex128, split into real/imag at the simulator's real dtype)."""
+    complex128, split into real/imag at the simulator's real dtype).
+    ``renorm_every``: insert a renormalization every N groups (deep-circuit
+    norm-drift mitigation; see SimConfig.renorm_every)."""
 
     consts: list[tuple[tuple[int, ...], bool, np.ndarray, np.ndarray | None]] = []
     for g in groups:
@@ -42,11 +45,16 @@ def build_xla_run_fn(
         consts.append((g.qubits, g.diagonal, ur, ui))
 
     def step(state: jax.Array) -> jax.Array:
-        for qubits, diagonal, ur, ui in consts:
+        for i, (qubits, diagonal, ur, ui) in enumerate(consts):
             if diagonal:
                 state = ap.apply_diagonal(state, ur, ui, qubits)
             else:
                 state = ap.apply_unitary(state, ur, ui, qubits)
+            if renorm_every and (i + 1) % renorm_every == 0:
+                norm = jnp.sum(state * state)
+                state = state * jax.lax.rsqrt(
+                    jnp.maximum(norm, jnp.finfo(state.dtype).tiny)
+                ).astype(state.dtype)
         return state
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -151,7 +159,12 @@ class StateVectorSimulator(BaseSimulator):
             groups = fuse_circuit(circuit, self.config.max_fused_qubits)
         else:
             groups = unfused_circuit(circuit)
-        return build_xla_run_fn(groups, self._rdtype, self.config.donate_state)
+        return build_xla_run_fn(
+            groups,
+            self._rdtype,
+            self.config.donate_state,
+            getattr(self.config, "renorm_every", 0),
+        )
 
     def run(self, circuit: Circuit) -> "StateVectorSimulator":
         """Apply every gate of ``circuit`` to the current state.
