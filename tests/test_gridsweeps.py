@@ -138,6 +138,21 @@ class TestCorrectness:
         ours, prog = run_grid(c, params)
         assert np.abs(ours - oracle_state(c)).max() < 5e-6
 
+    def test_shifted_row_to_active_geometry(self):
+        # the 2-sweep production geometries (rb8/a5, rb7/a6) shift row bits
+        # into active bits at constant block size; mirror that shift at
+        # test scale: same n, one fewer row bit, one more active bit
+        base = GridParams(rb_bits=3, a_max=2)
+        shifted = GridParams(rb_bits=2, a_max=3)
+        c = q.random_circuit(13, 60, seed=12)
+        ours_b, prog_b = run_grid(c, base)
+        ours_s, prog_s = run_grid(c, shifted)
+        ora = oracle_state(c)
+        assert np.abs(ours_b - ora).max() < 5e-6
+        assert np.abs(ours_s - ora).max() < 5e-6
+        # the wider active budget can only tighten the plan
+        assert prog_s.num_sweeps <= prog_b.num_sweeps
+
 
 class TestGeometry:
     def test_rejects_non_f32(self):
@@ -147,3 +162,20 @@ class TestGeometry:
     def test_rejects_small_n_at_default_params(self):
         with pytest.raises(ValueError, match="expects"):
             build_grid_sweep_run(q.random_circuit(12, 4), np.float32)
+
+    def test_plans_to_thirty_qubits(self):
+        # MAX_QUBITS parity (reference include/Constants.hpp:68): default
+        # geometry must produce a valid plan at every size up to 30
+        # (plan-only here; 29-30q execution is certified on-chip, where a
+        # donating run fits the 8.6 GB planes state in HBM)
+        for n in (29, 30):
+            c = q.random_circuit(n, 60, seed=4)
+            plan = plan_grid_sweeps(c, n)
+            assert sum(len(s.gates) for s in plan) >= 60
+            for s in plan:
+                assert len(s.active) <= GridParams().a_max
+
+    def test_donation_flag_off_below_29(self):
+        c = q.random_circuit(13, 10, seed=1)
+        _, prog = run_grid(c)
+        assert prog.donates is False

@@ -59,7 +59,8 @@ def maybe_build_pallas_circuit_run(
     """Build the best Pallas path for this circuit, or None to fall back.
 
     n in [10, 20]  -> whole-circuit VMEM-resident kernel
-    n in (20, 26]  -> segmented grid kernel with qubit-relocation passes
+    n in (20, 21]  -> segmented kernel with relocations folded into I/O
+    n in [22, 30]  -> active-bit grid sweep pipeline (donating at 29q+)
     """
     n = circuit.num_qubits
     if pallas_supported(n, rdtype, config):
@@ -72,18 +73,15 @@ def maybe_build_pallas_circuit_run(
         and n > MIN_PALLAS_QUBITS
         and (_on_tpu() or config_interpret(config))
     ):
-        from .gridsweeps import (
-            MAX_GRID_QUBITS,
-            MIN_GRID_QUBITS,
-            build_grid_sweep_run,
-        )
+        from .gridsweeps import MAX_GRID_QUBITS, build_grid_sweep_run
         from .segmented import MAX_SEGMENTED_QUBITS, build_segmented_run
         from .sweeps import MIN_SWEEP_QUBITS, MAX_SWEEP_QUBITS, build_sweep_run
 
-        if MIN_GRID_QUBITS + 1 <= n <= MAX_GRID_QUBITS:
+        if 20 <= n <= MAX_GRID_QUBITS:
             # overlapped-streaming grid engine: measured faster than the
             # staged map engine at every 22q+ bench size (grid pipeline
-            # hides kernel compute under the block streams)
+            # hides kernel compute under the block streams) and than the
+            # segmented engine at 20q (whole-state 1-sweep program)
             try:
                 return build_grid_sweep_run(
                     circuit, np.float32, interpret=config_interpret(config)

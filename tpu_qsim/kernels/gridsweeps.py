@@ -60,7 +60,7 @@ from .sweeps import _EXT_BASE, _VMEM_LIMIT, MAX_SWEEP_GATES, moving_qubits
 RB_BITS = 9                      # row bits per slice: slice = bits [0, 16)
 A_MAX = 4                        # active bits per sweep (VMEM-bounded)
 MIN_GRID_QUBITS = RB_BITS + LANE_BITS + A_MAX + 1   # 21
-MAX_GRID_QUBITS = 28
+MAX_GRID_QUBITS = 30                 # = reference MAX_QUBITS (Constants.hpp:68)
 
 
 def default_max_gates(n: int) -> int:
@@ -68,7 +68,33 @@ def default_max_gates(n: int) -> int:
     100-gate random circuits): bigger kernels (fewer sweeps) win through 25q
     (22q 1.11 vs 1.19 ms, 24q 3.95 vs 4.64) but at 26q+ the larger compute
     body overruns the stream-overlap budget (16.1 vs 13.4 ms)."""
-    return 70 if n <= 25 else MAX_SWEEP_GATES
+    if n <= 21:
+        return 100
+    return 90 if n <= 25 else MAX_SWEEP_GATES
+
+
+def default_geometry(n: int) -> tuple[GridParams, int]:
+    """Measured-fastest (params, max_gates) per size (docs/PERF_NOTES.md §6).
+
+    20-21q: whole-state 1-sweep grid, one HBM pass for the whole circuit
+    when it fits one kernel (0.206 vs 0.217 ms segmented at 20q).
+    22-25q: one row bit shifted into the active budget (identical 16.8 MB
+    block, identical 20-bit kernel) halves the sweep count: 2 sweeps at a
+    deliberately IMBALANCED 90/10 split — per-sweep fixed cost beats
+    balancing (90/10 measured 1.03/3.88 ms at 22/24q vs 1.29/4.47 for
+    50/50 splits). 26-27q: the wider active sets measured slower per sweep
+    (15.1-15.5 vs 13.4 ms at 26q); keep rb9/a4 with the 56-gate cap.
+    28q+: three row bits shifted (rb6/a7) gets 2-sweep plans and measured
+    57.5 vs 64.4 ms at 28q."""
+    if n <= 20:
+        return GridParams(), 100
+    if n == 21:
+        return GridParams(rb_bits=8, a_max=5), 100
+    if n <= 25:
+        return GridParams(rb_bits=8, a_max=5), 90
+    if n <= 27:
+        return GridParams(), MAX_SWEEP_GATES
+    return GridParams(rb_bits=6, a_max=7), 70
 
 
 @dataclass(frozen=True)
@@ -283,15 +309,17 @@ def _build_grid_sweep(
         interpret=interpret,
     )
 
-    def sweep_fn(state):
-        x = state.reshape(vshape)
+    def sweep_fn_view(x):
+        # operates on the vshape view; the program chains sweeps in view
+        # form so the pallas operand IS the (donated) parameter — a bitcast
+        # between a donated param and an aliased pallas operand makes XLA's
+        # copy-insertion materialize a full-state copy, which at 30q is the
+        # difference between fitting HBM (8.25 GB) and OOM (16.25 GB)
         if const_table is not None:
-            y = call(const_table, x)
-        else:
-            y = call(x)
-        return y.reshape(state.shape)
+            return call(const_table, x)
+        return call(x)
 
-    return sweep_fn
+    return sweep_fn_view
 
 
 class GridSweepProgram:
@@ -319,16 +347,46 @@ class GridSweepProgram:
         self._fns = [
             _build_grid_sweep(s, n, interpret, params) for s in plan
         ]
+        hb = n - params.blk_bits
+        self.vshape = (2,) + (2,) * hb + (params.rb, 128)
+
+        def run_view(x):
+            for fn in self._fns:
+                x = fn(x)
+            return x
 
         def run_state(state):
-            for fn in self._fns:
-                state = fn(state)
-            return state
+            return run_view(state.reshape(self.vshape)).reshape(state.shape)
 
         from ..utils import jit_scoped
 
         self.run_state = run_state
-        self.run = jit_scoped(run_state)
+        # 29q+ states (>= 4.3 GB of planes) are donated: the pallas calls
+        # already alias in/out, and at 30q a preserved 8.6 GB input cannot
+        # coexist with its 8.6 GB output in 16 GB of HBM. Callers must not
+        # reuse the input buffer after a donating run (the simulator facade
+        # rebinds its state, reference-style in-place semantics).
+        self.donates = n >= 29
+        dn = (0,) if self.donates else ()
+        # view-form entry points: at 30q even ONE bitcast between the
+        # donated parameter and an aliased pallas operand makes XLA
+        # copy-insertion materialize a full-state copy (OOM); chain the
+        # sweeps on the view and keep the flat<->view casts in their own
+        # (donated, bitcast-only) programs
+        self.run_view = jit_scoped(run_view, donate_argnums=dn)
+        self.to_view = jit_scoped(
+            lambda s: s.reshape(self.vshape), donate_argnums=dn
+        )
+        self.from_view = jit_scoped(
+            lambda x: x.reshape((2, 1 << n)), donate_argnums=dn
+        )
+        if n >= 30:
+            def run(state):
+                return self.from_view(self.run_view(self.to_view(state)))
+
+            self.run = run
+        else:
+            self.run = jit_scoped(run_state, donate_argnums=dn)
 
     def __call__(self, state):
         return self.run(state)
@@ -351,12 +409,16 @@ def build_grid_sweep_run(
     if np.dtype(rdtype) != np.float32:
         raise ValueError("the grid sweep path is float32-only")
     if params is None:
-        if not (MIN_GRID_QUBITS <= n <= MAX_GRID_QUBITS):
+        # production entry starts at 20 (the whole-state 1-sweep program
+        # beats the segmented engine there: 0.206 vs 0.217 ms)
+        if not (20 <= n <= MAX_GRID_QUBITS):
             raise ValueError(
-                f"grid sweep path expects {MIN_GRID_QUBITS} <= n <= "
+                f"grid sweep path expects 20 <= n <= "
                 f"{MAX_GRID_QUBITS}, got {n}"
             )
-        params = GridParams()
+        params, geom_cap = default_geometry(n)
+        if max_gates is None:
+            max_gates = geom_cap
     else:
         if n <= params.blk_bits + 1:
             raise ValueError("n must exceed blk_bits + 1")

@@ -110,14 +110,21 @@ def enable_persistent_compilation_cache(path: str = ".jax_cache") -> None:
 SCOPED_VMEM_KIB = 114688
 
 
-def jit_scoped(fn: Callable, scoped_vmem_kib: int = SCOPED_VMEM_KIB):
+def jit_scoped(
+    fn: Callable,
+    scoped_vmem_kib: int = SCOPED_VMEM_KIB,
+    donate_argnums: tuple[int, ...] = (),
+):
     """``jax.jit`` with a raised XLA scoped-VMEM limit (TPU backends).
 
     Returns a callable with a per-signature compile cache built via
     ``lower().compile(compiler_options=...)``. On backends that reject the
     option (CPU tests), falls back to plain ``jax.jit``.
+    ``donate_argnums`` is forwarded to ``jax.jit`` (needed at 30 qubits,
+    where a non-donated 8.6 GB planes state cannot be double-buffered in
+    16 GB of HBM).
     """
-    jitted = jax.jit(fn)
+    jitted = jax.jit(fn, donate_argnums=donate_argnums)
     cache: dict = {}
     fallback = jax.default_backend() in ("cpu", "gpu")
 
