@@ -28,14 +28,16 @@ import time
 
 # reference README.md:27-52. 16-22q: the mixed-circuit table; 24/26q have no
 # published mixed row, so the (equally launch-bound) 100-H rows stand in.
-# 28q: the reference publishes NO number at all (its benchmarks stop at 26,
-# reference benchmarks/benchmark_scaling.cu:24); the 26q 100-H stand-in is
-# reused so the row still reports a multiple.
-BASELINES_MS = {16: 0.29, 20: 0.28, 22: 0.28, 24: 0.24, 26: 0.24, 28: 0.24}
+# 28-30q: the reference publishes NO number at all (its benchmarks stop at
+# 26, reference benchmarks/benchmark_scaling.cu:24) though its own cap is
+# MAX_QUBITS=30 (Constants.hpp:68); the 26q 100-H stand-in is reused so the
+# rows still report a multiple.
+BASELINES_MS = {16: 0.29, 20: 0.28, 22: 0.28, 24: 0.24, 26: 0.24, 28: 0.24,
+                29: 0.24, 30: 0.24}
 NUM_GATES = 100
 # chained loop counts sized so t(4K)-t(K) >> the ~±2 ms tunnel-readback
 # noise at each size's per-circuit time
-LOOPS = {16: 1500, 20: 100, 22: 20, 24: 8, 26: 3, 28: 1}
+LOOPS = {16: 1500, 20: 100, 22: 20, 24: 8, 26: 3, 28: 1, 29: 1, 30: 1}
 HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 
@@ -111,6 +113,83 @@ def _max_amp_err(ours_c, oracle) -> float:
         d = np.abs(ours_c[i : i + step] - oracle[i : i + step])
         worst = max(worst, float(d.max()))
     return worst
+
+
+def _bench_row_large(n: int) -> dict:
+    """29-30q rows: the state (4.3/8.6 GB of planes) is donated and chained
+    in the grid engine's multi-dim view form (flat-form chaining makes XLA
+    copy-insertion materialize a second full state - OOM at 30q). Fidelity:
+    U then U-dagger must restore |0...0> (read back as scalars through
+    masked reductions fused into the reduce - a .at[].set copy also OOMs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpu_qsim as q
+    from tpu_qsim.kernels.gridsweeps import build_grid_sweep_run
+    from tpu_qsim.utils import jit_scoped, view_amp_summary
+
+    circuit = q.random_circuit(n, NUM_GATES, seed=42)
+    fwd = build_grid_sweep_run(circuit, np.float32)
+    inv = build_grid_sweep_run(circuit.inverse(), np.float32)
+
+    def fresh():
+        return jax.jit(
+            lambda: jnp.zeros(fwd.vshape, jnp.float32)
+            .at[(0,) * (len(fwd.vshape) - 1) + (0,)].set(1.0)
+        )()
+
+    # view-form scalar readback: a reshape to (2, 2^n) retiles the TPU
+    # layout and materializes a full 8 GB copy next to the donated
+    # argument (OOM at 30q) — see utils.view_amp_summary
+    drain = jax.jit(view_amp_summary, donate_argnums=(0,))
+
+    a0r, a0i, rest = (
+        float(v) for v in drain(inv.run_view(fwd.run_view(fresh())))
+    )
+    err = max(abs(complex(a0r, a0i) - 1.0), rest)
+    if err > 1e-4:
+        raise RuntimeError(f"fidelity failure at {n}q: inverse err={err:.2e}")
+
+    lo = LOOPS[n]
+    hi = 4 * lo
+
+    def chain(k):
+        return jit_scoped(
+            lambda s: jax.lax.fori_loop(0, k, lambda i, a: fwd.run_view(a), s),
+            donate_argnums=(0,),
+        )
+
+    f_lo, f_hi = chain(lo), chain(hi)
+
+    def run_once(f):
+        x = fresh()
+        t0 = time.perf_counter()
+        vals = drain(f(x))
+        _ = [float(v) for v in vals]
+        return time.perf_counter() - t0
+
+    run_once(f_lo)
+    run_once(f_hi)
+    ts = []
+    for _ in range(3):
+        t_lo = run_once(f_lo)
+        t_hi = run_once(f_hi)
+        ts.append((t_hi - t_lo) / (hi - lo))
+    ts.sort()
+    per_s = max(ts[len(ts) // 2], 1e-9)
+    per_ms = per_s * 1e3
+
+    state_gb = (2 * (1 << n) * 4) / 1e9
+    return {
+        "ms": round(per_ms, 4),
+        "vs_baseline": round(BASELINES_MS[n] / per_ms, 2),
+        "backend": "gridsweeps",
+        "max_amp_err": err,
+        "fidelity_method": "inverse round-trip (oracle infeasible at 4-8 GB)",
+        "hbm_passes_equiv": round(per_s * HBM_GBPS / state_gb, 1),
+        "roofline_pct": round(100.0 * (2 * state_gb / HBM_GBPS) / per_s, 1),
+    }
 
 
 def _bench_row(n: int) -> dict:
@@ -228,9 +307,9 @@ def main() -> int:
     float(jnp.sum(jnp.ones((8,), jnp.float32)))
 
     rows: dict[str, dict] = {}
-    for n in (16, 20, 22, 24, 26, 28):
+    for n in (16, 20, 22, 24, 26, 28, 29, 30):
         try:
-            rows[str(n)] = _bench_row(n)
+            rows[str(n)] = _bench_row_large(n) if n >= 29 else _bench_row(n)
         except Exception as e:  # a failed row must not hide the others
             rows[str(n)] = {"error": str(e)[:200]}
 

@@ -76,3 +76,74 @@ class TestNativeHistogram:
         samples = np.array([0, 1, 99, -3, 1], dtype=np.int32)
         counts = native.histogram_native(samples, 4)
         np.testing.assert_array_equal(counts, [1, 2, 0, 0])
+
+
+class TestNativeGridPlanner:
+    """Differential: native qsim_plan_grid_sweeps vs the pure-Python
+    frontier-scheduling planner in kernels/gridsweeps.py. Sweeps must match
+    exactly: same partition, same within-sweep emission order, same active
+    sets (the executor builds index maps from both)."""
+
+    def _both(self, circuit, params=None, max_gates=56):
+        from tpu_qsim.kernels.gridsweeps import GridParams, plan_grid_sweeps
+
+        params = params or GridParams()
+        nat = plan_grid_sweeps(circuit, params=params, max_gates=max_gates)
+        orig = native.available
+        try:
+            native.available = lambda: False
+            py = plan_grid_sweeps(circuit, params=params, max_gates=max_gates)
+        finally:
+            native.available = orig
+        return nat, py
+
+    def _assert_same(self, nat, py):
+        assert len(nat) == len(py)
+        for sn, sp in zip(nat, py):
+            assert sn.active == sp.active
+            assert len(sn.gates) == len(sp.gates)
+            for gn, gp in zip(sn.gates, sp.gates):
+                assert gn.qubits == gp.qubits
+                np.testing.assert_array_equal(gn.u, gp.u)
+
+    @pytest.mark.parametrize("seed", range(8))
+    @pytest.mark.parametrize("n", [22, 26, 30])
+    def test_matches_python_random(self, seed, n):
+        c = random_circuit(n, 120, seed=seed)
+        self._assert_same(*self._both(c))
+
+    @pytest.mark.parametrize("n", [22, 27])
+    def test_matches_python_structured(self, n):
+        from tpu_qsim import ghz_circuit, qft_circuit
+
+        for c in (ghz_circuit(n), qft_circuit(n)):
+            self._assert_same(*self._both(c))
+
+    def test_swap_decomposition_and_tight_caps(self):
+        # swaps across the block boundary decompose into 3 cnots first;
+        # a tiny max_gates forces many sweep closures
+        c = Circuit(24)
+        for i in range(10):
+            c.h(i % 24).swap(i % 24, (i + 13) % 24).cnot(2, 23)
+        self._assert_same(*self._both(c, max_gates=4))
+
+    def test_over_wide_gate_rejected_by_both(self):
+        from tpu_qsim.gates import register_gate
+        from tpu_qsim.kernels.gridsweeps import plan_grid_sweeps
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))
+        q, _ = np.linalg.qr(m)
+        name = "dense5_nat_test"
+        try:
+            register_gate(name, q, num_qubits=5)
+        except ValueError:
+            pass  # already registered by an earlier parametrization
+        c = Circuit(27)
+        c.add(name, 21, 22, 23, 24, 25)
+        with pytest.raises(ValueError, match="grid engine stacks"):
+            plan_grid_sweeps(c)
+
+    def test_empty_gate_list(self):
+        nat, py = self._both(Circuit(22))
+        assert nat == [] and py == []

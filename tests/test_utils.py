@@ -197,3 +197,71 @@ class TestMCWFMatchesDensityMatrix:
             DensityMatrixSimulator(2, insertion="bogus")
         with pytest.raises(ValueError, match="insertion"):
             build_trajectory_step(Circuit(1).h(0), None, np.float32, "bogus")
+
+
+class TestViewAmpSummary:
+    """view_amp_summary must match flat-form readback on every view shape
+    the grid engine produces (bench.py's 29-30q rows and the 30q on-chip
+    certification depend on this equivalence — at those sizes the flat
+    reshape itself is an OOM, so this small-shape proof is the only
+    cross-check)."""
+
+    def _flat_check(self, y, ends):
+        import jax.numpy as jnp
+
+        from tpu_qsim.utils import view_amp_summary
+
+        flat = np.asarray(y).reshape(2, -1)
+        got = [float(v) for v in view_amp_summary(jnp.asarray(y), ends=ends)]
+        want = [flat[0, 0], flat[1, 0]]
+        drop = [0]
+        if ends == 2:
+            want += [flat[0, -1], flat[1, -1]]
+            drop.append(flat.shape[1] - 1)
+        rest = np.abs(np.delete(flat, drop, axis=1)).max()
+        want.append(rest)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)
+
+    @pytest.mark.parametrize("ends", [1, 2])
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (2, 4, 8),                       # minimal view: (plane, RB, lanes)
+            (2, 2, 2, 4, 8),                 # two high-bit axes
+            (2, 2, 2, 2, 2, 2, 4, 8),        # deep 30q-like axis chain
+        ],
+    )
+    def test_matches_flat_readback(self, ends, shape):
+        rng = np.random.default_rng(7)
+        y = rng.normal(size=shape).astype(np.float32)
+        self._flat_check(y, ends)
+
+    def test_corner_amplitudes_not_masked(self):
+        """ends=2 must exclude ONLY flat 0 and flat N-1 from ``rest`` — a
+        mixed corner coordinate (max on one axis, zero on another) is a
+        regular amplitude and must still be visible."""
+        import jax.numpy as jnp
+
+        from tpu_qsim.utils import view_amp_summary
+
+        y = np.zeros((2, 2, 4, 8), np.float32)
+        y[0, 1, 0, 0] = 0.5          # mixed corner: high axis max, rest zero
+        *_, rest = view_amp_summary(jnp.asarray(y), ends=2)
+        assert float(rest) == pytest.approx(0.5)
+
+    def test_jit_and_shapes_match_grid_program(self):
+        """The summary works under jit on an actual GridSweepProgram vshape."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_qsim.utils import view_amp_summary
+
+        # 20q vshape under the default geometry (no TPU needed: pure jnp)
+        from tpu_qsim.kernels.gridsweeps import default_geometry
+
+        params, _cap = default_geometry(20)
+        hb = 20 - (params.rb_bits + 7)
+        vshape = (2,) + (2,) * hb + (1 << params.rb_bits, 128)
+        y = jnp.zeros(vshape, jnp.float32).at[(0,) + (0,) * (len(vshape) - 1)].set(1.0)
+        a0r, a0i, rest = jax.jit(view_amp_summary)(y)
+        assert float(a0r) == 1.0 and float(a0i) == 0.0 and float(rest) == 0.0

@@ -166,6 +166,30 @@ def plan_grid_sweeps(
 
     mv_cache = [moving_qubits(g.u, g.qubits) & high for g in gates]
 
+    # native planner (tpu_qsim/native/fusion.cpp::qsim_plan_grid_sweeps):
+    # same frontier scheduling on matrix-free per-gate data; bit-identical
+    # results (differential tests in tests/test_native.py), Python below is
+    # the always-available fallback and the executable specification.
+    from .. import native
+
+    if native.available():
+        planned = native.plan_grid_sweeps_native(
+            [g.qubits for g in gates],
+            [g.classes for g in gates],
+            [sum(1 << q for q in mv) for mv in mv_cache],
+            a_max,
+            max_gates,
+        )
+        if planned is not None:
+            sweeps = []
+            for members in planned:
+                s = GridSweep()
+                for i in members:
+                    s.gates.append(gates[i])
+                    s.active |= mv_cache[i]
+                sweeps.append(s)
+            return sweeps
+
     sched = FrontierScheduler(gates)
     sweeps: list[GridSweep] = []
     cur = GridSweep()

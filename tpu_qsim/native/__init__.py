@@ -45,6 +45,18 @@ def _try_load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    try:  # absent from pre-round-3 builds of the library
+        lib.qsim_plan_grid_sweeps.restype = ctypes.c_int
+        lib.qsim_plan_grid_sweeps.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._has_grid_planner = True
+    except AttributeError:
+        lib._has_grid_planner = False
     _lib = lib
     return lib
 
@@ -119,6 +131,57 @@ def circuit_depth_native(
     if d < 0:
         raise ValueError("native depth computation rejected the circuit")
     return d
+
+
+def plan_grid_sweeps_native(
+    gate_qubit_lists: list[tuple[int, ...]],
+    gate_class_lists: list[tuple[int, ...]],
+    moving_masks: list[int],
+    a_max: int,
+    max_gates: int,
+) -> list[list[int]] | None:
+    """Native grid-sweep partitioning; returns ``None`` if unavailable.
+
+    Returns one list of gate indices per sweep, in emission order (the
+    frontier scheduler may pull a later gate forward past non-commuting
+    indices, so within-sweep order is NOT ascending). Bit-identical to
+    ``tpu_qsim.kernels.gridsweeps.plan_grid_sweeps``'s pure-Python path
+    (differentially tested in tests/test_native.py).
+    """
+    lib = _try_load()
+    if lib is None or not getattr(lib, "_has_grid_planner", False):
+        return None
+    flat, offsets = _flatten(gate_qubit_lists)
+    classes = np.asarray(
+        [c for cs in gate_class_lists for c in cs], dtype=np.int8
+    )
+    if classes.size != flat.size:
+        raise ValueError("gate_class_lists must align with gate_qubit_lists")
+    masks = np.asarray(moving_masks, dtype=np.uint64)
+    n = len(gate_qubit_lists)
+    sweep_ids = np.zeros(n, dtype=np.int32)
+    emit_order = np.zeros(n, dtype=np.int32)
+    flat_c = flat if flat.size else np.zeros(1, dtype=np.int32)
+    classes_c = classes if classes.size else np.zeros(1, dtype=np.int8)
+    masks_c = masks if masks.size else np.zeros(1, dtype=np.uint64)
+    ids_c = sweep_ids if n else np.zeros(1, dtype=np.int32)
+    order_c = emit_order if n else np.zeros(1, dtype=np.int32)
+    nsweeps = lib.qsim_plan_grid_sweeps(
+        n,
+        flat_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        classes_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        masks_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        a_max, max_gates,
+        ids_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        order_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if nsweeps < 0:
+        raise ValueError("native grid planner rejected the gate list")
+    members: list[list[int]] = [[] for _ in range(nsweeps)]
+    for gi in emit_order[:n]:
+        members[int(sweep_ids[gi])].append(int(gi))
+    return members
 
 
 def histogram_native(samples: np.ndarray, num_bins: int) -> np.ndarray | None:

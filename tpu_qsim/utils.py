@@ -100,6 +100,41 @@ def enable_persistent_compilation_cache(path: str = ".jax_cache") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def view_amp_summary(y, *, ends: int = 1):
+    """Scalar amplitude summary of a grid-engine *view-form* planes state.
+
+    ``y`` is a ``GridSweepProgram.vshape`` array: axis 0 = plane (re/im),
+    remaining axes = state-bit groups in descending significance, so flat
+    amplitude 0 sits at the all-zero coordinate and flat 2^n - 1 at the
+    all-max coordinate. Returns ``(a0_re, a0_im, rest)`` for ``ends=1`` or
+    ``(a0_re, a0_im, aN_re, aN_im, rest)`` for ``ends=2``, where ``rest``
+    is max |plane value| over all other amplitudes' planes.
+
+    Everything is computed IN view form with reductions the compiler fuses:
+    a reshape to flat ``(2, 2^n)`` retiles the TPU layout and materializes
+    a full-state copy — next to an 8 GB donated argument at 30 qubits that
+    is an OOM (the reference simply read amplitudes from its single global
+    allocation, reference src/StateVector.cu:207-216; on TPU the readback
+    itself must be layout-aware).
+    """
+    import jax.numpy as jnp
+
+    m0 = mN = None
+    for ax in range(1, y.ndim):
+        idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, ax)
+        lo, hi = idx == 0, idx == y.shape[ax] - 1
+        m0 = lo if m0 is None else m0 & lo
+        mN = hi if mN is None else mN & hi
+    mask = m0 if ends == 1 else m0 | mN
+    rest = jnp.max(jnp.where(mask, 0.0, jnp.abs(y)))
+    zero = (0,) * (y.ndim - 1)
+    out = [y[(0,) + zero], y[(1,) + zero]]
+    if ends == 2:
+        top = tuple(s - 1 for s in y.shape[1:])
+        out += [y[(0,) + top], y[(1,) + top]]
+    return tuple(out) + (rest,)
+
+
 # XLA's default per-kernel scoped-VMEM budget (16 MB) is enforced on Pallas
 # kernels compiled inside control flow (lax.map/scan bodies), where the
 # kernel-level ``vmem_limit_bytes`` compiler param is not propagated — the
