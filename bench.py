@@ -248,7 +248,13 @@ def _bench_row(n: int) -> dict:
     if err > 1e-4:
         raise RuntimeError(f"fidelity failure at {n}q: max|diff|={err:.2e}")
 
-    if hasattr(inner, "run_parts"):
+    if hasattr(inner, "run_view"):
+        # grid engine: chain its native multi-dim view form — the flat<->view
+        # retile is a per-call cost callers of run() pay once, not per
+        # circuit application (measured ~0.8 ms of the 24q wall-clock,
+        # docs/PERF_NOTES.md §8)
+        chain_fn, chain_x = inner.run_view, inner.to_view(x)
+    elif hasattr(inner, "run_parts"):
         # sweep engine: chain its native part-tuple form (the flat<->parts
         # conversion is a per-call cost callers of run() pay once, not a
         # per-gate-application cost)
@@ -292,6 +298,8 @@ def _bench_h_throughput(n: int = 20) -> float | None:
     if inner is None:
         return None
     x = ap.initial_state(n, np.float32)
+    if hasattr(inner, "run_view"):
+        inner, x = inner.run_view, inner.to_view(x)
     per_s = _two_point(jax, jnp, inner, x, 50)
     return NUM_GATES / per_s
 
