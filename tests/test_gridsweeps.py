@@ -179,3 +179,80 @@ class TestGeometry:
         c = q.random_circuit(13, 10, seed=1)
         _, prog = run_grid(c)
         assert prog.donates is False
+
+
+class TestFacadeViewCache:
+    """StateVectorSimulator parks grid-engine state in view form between
+    runs (the flat<->view retile is ~25% of a 24q circuit on-chip,
+    docs/PERF_NOTES.md §7) and materializes flat planes lazily on readback.
+    Production dispatch only builds grid programs at 20q+, so these tests
+    inject a shrunk-geometry interpret program into the run cache."""
+
+    def _sim_with_grid(self, circuit, params=P):
+        sim = q.StateVectorSimulator(circuit.num_qubits)
+        prog = build_grid_sweep_run(
+            circuit, np.float32, interpret=True, params=params
+        )
+        sim._run_cache[circuit.signature()] = prog
+        return sim, prog
+
+    def test_single_run_matches_oracle(self):
+        c = q.random_circuit(12, 40, seed=21)
+        sim, _ = self._sim_with_grid(c)
+        sim.run(c)
+        assert sim._view_state is not None          # parked in view form
+        got = sim.get_state()                        # lazy materialization
+        assert sim._view_state is None
+        np.testing.assert_allclose(
+            got, oracle_state(c), rtol=0, atol=1e-6
+        )
+
+    def test_consecutive_runs_reuse_view(self):
+        c = q.random_circuit(12, 30, seed=22)
+        sim, prog = self._sim_with_grid(c)
+        sim.run(c).run(c).run(c)
+        assert sim._view_state is not None
+        assert sim._view_state.shape == prog.vshape
+        ora = q.CPUReferenceSimulator(12)
+        for _ in range(3):
+            ora.run(c)
+        np.testing.assert_allclose(
+            sim.get_state(), ora.state, rtol=0, atol=1e-6
+        )
+
+    def test_vshape_mismatch_falls_back_to_flat(self):
+        c1 = q.random_circuit(12, 20, seed=23)
+        c2 = q.random_circuit(12, 20, seed=24)
+        sim, _ = self._sim_with_grid(c1)
+        prog2 = build_grid_sweep_run(
+            c2, np.float32, interpret=True,
+            params=GridParams(rb_bits=2, a_max=3),   # different vshape
+        )
+        sim._run_cache[c2.signature()] = prog2
+        sim.run(c1).run(c2)
+        ora = q.CPUReferenceSimulator(12)
+        ora.run(c1)
+        ora.run(c2)
+        np.testing.assert_allclose(
+            sim.get_state(), ora.state, rtol=0, atol=1e-6
+        )
+
+    def test_readbacks_and_measurement_interleave(self):
+        c = q.random_circuit(12, 25, seed=25)
+        sim, _ = self._sim_with_grid(c)
+        sim.run(c)
+        assert abs(sim.total_probability() - 1.0) < 1e-4
+        sim.run(c)                                    # re-parks after readback
+        assert sim._view_state is not None
+        outcome = sim.measure_qubit(3)                # collapses flat state
+        assert outcome in (0, 1)
+        assert sim._view_state is None
+        assert abs(sim.total_probability() - 1.0) < 1e-4
+
+    def test_reset_clears_view(self):
+        c = q.random_circuit(12, 10, seed=26)
+        sim, _ = self._sim_with_grid(c)
+        sim.run(c)
+        sim.reset()
+        assert sim._view_state is None
+        np.testing.assert_allclose(sim.get_probabilities()[0], 1.0)

@@ -42,6 +42,12 @@ class BaseSimulator:
         self.config = config
         self._rdtype = config.real_dtype
         self._key = jax.random.PRNGKey(seed)
+        # grid-view cache: backends whose native layout is the grid engine's
+        # multi-dim view form park the state here between runs (the flat<->
+        # view retile costs ~25% of a 24q circuit, docs/PERF_NOTES.md §7);
+        # the `_state` property materializes flat planes lazily on readback
+        self._view_state = None
+        self._view_prog = None
         self._state = ap.initial_state(self.num_qubits, self._rdtype)
 
     # -- key chain ----------------------------------------------------------
@@ -59,6 +65,23 @@ class BaseSimulator:
         return sub
 
     # -- state management ---------------------------------------------------
+
+    @property
+    def _state(self) -> jax.Array:
+        """Flat (2, 2^n) planes; materializes (and drops) any parked
+        grid-view state. ``from_view`` donates the view buffer at 29q+ —
+        the flat and view forms never coexist at sizes where they cannot."""
+        if self._view_state is not None:
+            self._flat_state = self._view_prog.from_view(self._view_state)
+            self._view_state = None
+            self._view_prog = None
+        return self._flat_state
+
+    @_state.setter
+    def _state(self, value: jax.Array) -> None:
+        self._flat_state = value
+        self._view_state = None
+        self._view_prog = None
 
     def reset(self, basis_index: int = 0) -> None:
         if not (0 <= basis_index < self.dim):

@@ -68,10 +68,13 @@ def default_max_gates(n: int) -> int:
     100-gate random circuits): bigger kernels (fewer sweeps) win through 25q
     (22q 1.11 vs 1.19 ms, 24q 3.95 vs 4.64) but at 26q+ the larger compute
     body overruns the stream-overlap budget (16.1 vs 13.4 ms). Round-3
-    view-form A/B at 24q: cap80 2.84 ms vs cap90 2.97 / cap100 3.05 /
-    cap65 3.38 (docs/PERF_NOTES.md §8)."""
+    view-form A/B (docs/PERF_NOTES.md §7): 24q cap80 2.84 ms vs cap90
+    2.97 / cap100 3.05 / cap65 3.38, but 22q cap90 0.834 vs cap80 0.856 —
+    the cap splits at 24q."""
     if n <= 21:
         return 100
+    if n <= 23:
+        return 90
     return 80 if n <= 25 else MAX_SWEEP_GATES
 
 
@@ -93,7 +96,7 @@ def default_geometry(n: int) -> tuple[GridParams, int]:
     if n == 21:
         return GridParams(rb_bits=8, a_max=5), 100
     if n <= 25:
-        return GridParams(rb_bits=8, a_max=5), 80
+        return GridParams(rb_bits=8, a_max=5), (90 if n <= 23 else 80)
     if n <= 27:
         return GridParams(), MAX_SWEEP_GATES
     return GridParams(rb_bits=6, a_max=7), 70

@@ -177,7 +177,28 @@ class StateVectorSimulator(BaseSimulator):
                 f"circuit has {circuit.num_qubits} qubits, simulator has "
                 f"{self.num_qubits}"
             )
-        self._state = self._compiled_run(circuit)(self._state)
+        fn = self._compiled_run(circuit)
+        if hasattr(fn, "run_view"):
+            # grid engine (20q+): keep the state in the engine's native
+            # view form between runs — the flat<->view retile costs ~25% of
+            # a 24q circuit (docs/PERF_NOTES.md §7) and is only needed on
+            # readback (the `_state` property materializes it lazily)
+            if (
+                self._view_state is not None
+                and self._view_state.shape == fn.vshape
+            ):
+                v = self._view_state
+                self._view_state = None      # run_view donates it at 29q+
+                self._view_prog = None
+            else:
+                v = fn.to_view(self._state)
+                # drop the flat ref: stale after this run (and at 29q+
+                # to_view donated its buffer outright)
+                self._flat_state = None
+            self._view_state = fn.run_view(v)
+            self._view_prog = fn
+        else:
+            self._state = fn(self._state)
         return self
 
     def apply_gate(self, name: str, *qubits: int, param: float | None = None) -> None:
