@@ -256,3 +256,32 @@ class TestFacadeViewCache:
         sim.reset()
         assert sim._view_state is None
         np.testing.assert_allclose(sim.get_probabilities()[0], 1.0)
+
+
+class TestMeasuredGeometryDefaults:
+    """Pin the on-chip-measured per-size geometry (docs/PERF_NOTES.md §6-7).
+    These values are load-bearing performance calibration — a silent change
+    shows up only as a regression on real hardware, so CI pins them."""
+
+    def test_default_geometry_table(self):
+        from tpu_qsim.kernels.gridsweeps import default_geometry
+
+        expect = {
+            20: (9, 4, 100),
+            21: (8, 5, 100),
+            22: (8, 5, 90), 23: (8, 5, 90),
+            24: (8, 5, 80), 25: (8, 5, 80),
+            26: (9, 4, 56), 27: (9, 4, 56),
+            28: (6, 7, 70), 29: (6, 7, 70), 30: (6, 7, 70),
+        }
+        for n, (rb, a, cap) in expect.items():
+            params, got_cap = default_geometry(n)
+            assert (params.rb_bits, params.a_max, got_cap) == (rb, a, cap), n
+
+    def test_default_max_gates_cap_splits_at_24(self):
+        from tpu_qsim.kernels.gridsweeps import default_max_gates
+
+        assert default_max_gates(21) == 100
+        assert default_max_gates(22) == default_max_gates(23) == 90
+        assert default_max_gates(24) == default_max_gates(25) == 80
+        assert default_max_gates(26) == 56
