@@ -102,6 +102,29 @@ def default_geometry(n: int) -> tuple[GridParams, int]:
     return GridParams(rb_bits=6, a_max=7), 70
 
 
+def geometry_candidates(n: int) -> list[tuple[GridParams, int]]:
+    """Geometry candidates tried at program build (measured default
+    first). Alternates reach a LOWER SWEEP COUNT through the 2-sweep
+    partition planner for circuits that admit one — the 26q A/B
+    measured the balanced rb8/a5 [50,50] plan at 9.03 ms vs the rb9/a4
+    3-sweep default's 9.69 ms (same session, view-form chaining). Not
+    every circuit admits a 2-sweep partition (seed-dependent), hence
+    candidates scored per circuit rather than a new fixed default:
+    fewest sweeps wins, then the smallest max kernel (Mosaic compile is
+    superlinear in gate count, and cap A/Bs measured smaller kernels
+    faster at 26q+)."""
+    cands = [default_geometry(n)]
+    if n == 26:
+        # 10 high bits under rb8/a5: a 2-sweep partition needs all 5
+        # active; rb6/a7 (13 high bits) is the wider-budget fallback
+        cands += [
+            (GridParams(rb_bits=8, a_max=5), 70),
+            (GridParams(rb_bits=6, a_max=7), 50),
+            (GridParams(rb_bits=6, a_max=7), 70),
+        ]
+    return cands
+
+
 @dataclass(frozen=True)
 class GridParams:
     """Engine geometry — module defaults for production; tests shrink it."""
@@ -122,6 +145,108 @@ class GridParams:
 class GridSweep:
     active: set = field(default_factory=set)   # moving state bits >= blk
     gates: list[PGate] = field(default_factory=list)
+
+
+def _two_sweep_partition(
+    gates: list[PGate],
+    mv_cache: list[frozenset],
+    a_max: int,
+    max_gates: int,
+) -> list[GridSweep] | None:
+    """Exact 2-sweep planning by active-set partition enumeration.
+
+    The greedy frontier packer fills a sweep's active budget on a
+    first-ready basis, which can cost a whole extra full-state sweep vs
+    the attainable lower bound ceil(|used bits| / a_max): the 100-gate
+    bench circuits at 26q (rb8/a5) and 30q (rb6/a7) both admit
+    order-feasible 2-sweep partitions the greedy packer misses. A sweep
+    plan's runtime is (fixed streaming cost per sweep) x sweeps +
+    per-gate compute, so a saved sweep is a direct win.
+
+    Enumerates every split of the used high bits into two <= a_max
+    halves (C(|used|, size1) candidates, capped) and checks order
+    feasibility with a linear drain over the precomputed commutation
+    DAG. Returns the feasible plan minimizing the larger sweep (compile
+    time is superlinear in kernel gate count), or None.
+    """
+    from itertools import combinations
+
+    from ..commute import dependency_edges
+
+    used = sorted(set().union(*mv_cache)) if mv_cache else []
+    u = len(used)
+    if u <= a_max or u > 2 * a_max:
+        return None
+    n_parts = sum(
+        1
+        for s1 in range(u - a_max, a_max + 1)
+        for _ in combinations(used, s1)
+    )
+    if n_parts * len(gates) > 4_000_000:
+        return None
+
+    preds = dependency_edges(gates)
+    ng = len(gates)
+    half = (ng + 1) // 2
+
+    def plan_for(s1: frozenset, s2: frozenset) -> tuple | None:
+        """Minimal sweep-1 = transitive predecessor closure of the
+        S1-colored gates, then balanced fill with other S1-placeable
+        gates (smaller kernels compile and run better — measured cap
+        A/Bs, docs/PERF_NOTES.md §7). Program order is a valid order
+        within each sweep (dependency edges only point backward)."""
+        need = [False] * ng           # must be in sweep 1
+        can1 = [False] * ng           # may be in sweep 1
+        for i, mv in enumerate(mv_cache):
+            if mv and not (mv <= s1 or mv <= s2):
+                return None           # moving set straddles the partition
+            need[i] = bool(mv) and mv <= s1
+            can1[i] = mv <= s1 and all(can1[p] for p in preds[i])
+        for i in range(ng - 1, -1, -1):
+            if need[i]:
+                if not can1[i]:
+                    return None       # an S1 gate depends on an S2 gate
+                for p in preds[i]:
+                    need[p] = True
+        m = sum(need)
+        if m > max_gates or ng > 2 * max_gates:
+            return None
+        target = min(max(m, half, ng - max_gates), max_gates)
+        sel = list(need)
+        size1 = m
+        for i in range(ng):
+            if size1 >= target:
+                break
+            if not sel[i] and can1[i] and all(sel[p] for p in preds[i]):
+                sel[i] = True
+                size1 += 1
+        if ng - size1 > max_gates:
+            return None
+        return (
+            [i for i in range(ng) if sel[i]],
+            [i for i in range(ng) if not sel[i]],
+        )
+
+    best = None
+    for size1 in range(u - a_max, a_max + 1):
+        for c in combinations(used, size1):
+            s1 = frozenset(c)
+            r = plan_for(s1, frozenset(used) - s1)
+            if r is None:
+                continue
+            score = max(len(o) for o in r)
+            if best is None or score < best[0]:
+                best = (score, r)
+    if best is None:
+        return None
+    sweeps = []
+    for order in best[1]:
+        s = GridSweep()
+        for i in order:
+            s.gates.append(gates[i])
+            s.active |= mv_cache[i]
+        sweeps.append(s)
+    return sweeps
 
 
 def plan_grid_sweeps(
@@ -193,7 +318,7 @@ def plan_grid_sweeps(
                     s.gates.append(gates[i])
                     s.active |= mv_cache[i]
                 sweeps.append(s)
-            return sweeps
+            return _improve_plan(sweeps, gates, mv_cache, a_max, max_gates)
 
     sched = FrontierScheduler(gates)
     sweeps: list[GridSweep] = []
@@ -220,6 +345,26 @@ def plan_grid_sweeps(
         cur = GridSweep()
     if cur.gates:
         sweeps.append(cur)
+    return _improve_plan(sweeps, gates, mv_cache, a_max, max_gates)
+
+
+def _improve_plan(
+    sweeps: list[GridSweep],
+    gates: list[PGate],
+    mv_cache: list[frozenset],
+    a_max: int,
+    max_gates: int,
+) -> list[GridSweep]:
+    """Post-pass on a frontier plan: when the greedy packer used more
+    sweeps than the active-bit lower bound and that bound is 2, replace
+    the plan with an enumerated 2-sweep partition (see
+    :func:`_two_sweep_partition`)."""
+    used = set().union(*mv_cache) if mv_cache else set()
+    bound = -(-len(used) // a_max) if used and a_max else 1
+    if len(sweeps) > bound == 2:
+        alt = _two_sweep_partition(gates, mv_cache, a_max, max_gates)
+        if alt is not None:
+            return alt
     return sweeps
 
 
@@ -364,13 +509,15 @@ class GridSweepProgram:
         params: GridParams = GridParams(),
         num_qubits: int | None = None,
         max_gates: int | None = None,
+        plan: list[GridSweep] | None = None,
     ):
         n = circuit.num_qubits if isinstance(circuit, Circuit) else num_qubits
         self.num_qubits = n
         self.params = params
-        if max_gates is None:
-            max_gates = default_max_gates(n)
-        plan = plan_grid_sweeps(circuit, n, params, max_gates)
+        if plan is None:
+            if max_gates is None:
+                max_gates = default_max_gates(n)
+            plan = plan_grid_sweeps(circuit, n, params, max_gates)
         self.num_sweeps = len(plan)
         self.active_sets = [sorted(s.active) for s in plan]
         self._fns = [
@@ -445,12 +592,32 @@ def build_grid_sweep_run(
                 f"grid sweep path expects 20 <= n <= "
                 f"{MAX_GRID_QUBITS}, got {n}"
             )
-        params, geom_cap = default_geometry(n)
-        if max_gates is None:
-            max_gates = geom_cap
-    else:
-        if n <= params.blk_bits + 1:
-            raise ValueError("n must exceed blk_bits + 1")
+        if max_gates is not None:
+            params, _ = default_geometry(n)
+            return GridSweepProgram(
+                circuit, interpret, params, num_qubits=n, max_gates=max_gates
+            )
+        # score each geometry candidate on THIS circuit: fewest sweeps,
+        # then smallest max kernel (see geometry_candidates)
+        best = None
+        err: ValueError | None = None
+        for p, cap in geometry_candidates(n):
+            try:
+                plan = plan_grid_sweeps(circuit, n, p, cap)
+            except ValueError as e:
+                err = e
+                continue
+            score = (len(plan), max(len(s.gates) for s in plan))
+            if best is None or score < best[0]:
+                best = (score, p, plan)
+        if best is None:
+            raise err if err is not None else ValueError("no geometry fits")
+        _, params, plan = best
+        return GridSweepProgram(
+            circuit, interpret, params, num_qubits=n, plan=plan
+        )
+    if n <= params.blk_bits + 1:
+        raise ValueError("n must exceed blk_bits + 1")
     return GridSweepProgram(
         circuit, interpret, params, num_qubits=n, max_gates=max_gates
     )
