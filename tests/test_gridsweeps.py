@@ -143,17 +143,28 @@ class TestPartitionPlanner:
 
     def test_geometry_candidates_selected_per_circuit(self):
         # planning-only: construction never executes the kernels. The
-        # bench circuit admits the measured-fastest rb8/a5 2-sweep plan;
-        # circuits that don't (seed 1) fall to the wider rb6/a7 budget
-        # instead of regressing to 3+ sweeps.
+        # bench circuit admits the measured-fastest rb8/a5 2-sweep plan
+        # (9.03 ms on-chip); circuits that don't (seed 1) keep the
+        # measured rb9/a4 default — the wider rb6/a7 2-sweep geometry
+        # LOST its 26q A/B (10.39 ms vs 9.69) and must not be selected.
         c = q.random_circuit(26, 100, seed=42)
         prog = build_grid_sweep_run(c, np.float32)
         assert (prog.params.rb_bits, prog.params.a_max) == (8, 5)
         assert prog.num_sweeps == 2
         c1 = q.random_circuit(26, 100, seed=1)
         prog1 = build_grid_sweep_run(c1, np.float32)
-        assert prog1.num_sweeps == 2
-        assert (prog1.params.rb_bits, prog1.params.a_max) == (6, 7)
+        assert (prog1.params.rb_bits, prog1.params.a_max) == (9, 4)
+        assert prog1.num_sweeps == 4   # the frontier default for seed 1
+
+    def test_geometry_candidates_balance_28q(self):
+        # 28q+: the balanced rb6/a7 [50,50] plan measured 38.2 ms vs
+        # the [70,30] default's 43.9 — same sweep count, balance pays
+        c = q.random_circuit(28, 100, seed=42)
+        prog = build_grid_sweep_run(c, np.float32)
+        assert (prog.params.rb_bits, prog.params.a_max) == (6, 7)
+        assert prog.num_sweeps == 2
+        assert max(len(s.gates) for s in
+                   plan_grid_sweeps(c, 28, prog.params, 50)) == 50
 
     def test_production_plan_shapes(self):
         # planning-only (no execution): the 100-gate bench circuits at

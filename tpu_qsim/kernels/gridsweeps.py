@@ -102,26 +102,44 @@ def default_geometry(n: int) -> tuple[GridParams, int]:
     return GridParams(rb_bits=6, a_max=7), 70
 
 
-def geometry_candidates(n: int) -> list[tuple[GridParams, int]]:
-    """Geometry candidates tried at program build (measured default
-    first). Alternates reach a LOWER SWEEP COUNT through the 2-sweep
-    partition planner for circuits that admit one — the 26q A/B
-    measured the balanced rb8/a5 [50,50] plan at 9.03 ms vs the rb9/a4
-    3-sweep default's 9.69 ms (same session, view-form chaining). Not
-    every circuit admits a 2-sweep partition (seed-dependent), hence
-    candidates scored per circuit rather than a new fixed default:
-    fewest sweeps wins, then the smallest max kernel (Mosaic compile is
-    superlinear in gate count, and cap A/Bs measured smaller kernels
-    faster at 26q+)."""
-    cands = [default_geometry(n)]
+def geometry_candidates(
+    n: int,
+) -> list[tuple[GridParams, int, int | None, bool, bool]]:
+    """Ordered geometry candidates tried at program build: ``(params,
+    cap, required_sweeps, partition, balance)``. The first candidate
+    whose plan meets its sweep requirement wins; the final entry
+    (requirement None) is the measured default. Preference order is
+    MEASURED, not derived — on-chip A/Bs (2026-08-18, view-form chains,
+    100-gate seed-42 mixes):
+
+    * 26q: rb8/a5 balanced 2-sweep [50,50] 9.03 ms < rb9/a4 3-sweep
+      default 9.69 ms < rb6/a7 2-sweep [50,50] 10.39 ms — the wider
+      rb6/a7 budget is NOT a fallback at 26q; circuits without an
+      rb8/a5 partition keep the default.
+    * 27q: rb6/a7 balanced [50,50] 19.2 ms vs rb9/a4 3-sweep 21.7.
+    * 28q: rb6/a7 balanced [50,50] 38.2 ms vs [70,30] 43.9 (same sweep
+      count — balance itself pays at this size).
+    * 29q: the preference FLIPS: [70,30] 94.4 ms vs balanced [50,50]
+      96.4 — default keeps the frontier fill, partition only rescues
+      odd circuits whose frontier plan exceeds 2 sweeps (balance=False).
+    * 30q: the frontier 3-sweep [70,25,5] 210.7 ms beat the balanced
+      2-sweep [50,50] 227.4 — partition is disabled entirely.
+
+    Not every circuit admits a 2-sweep partition (seed-dependent),
+    hence per-circuit candidates rather than new fixed defaults.
+    """
+    cands: list[tuple[GridParams, int, int | None, bool, bool]] = []
     if n == 26:
-        # 10 high bits under rb8/a5: a 2-sweep partition needs all 5
-        # active; rb6/a7 (13 high bits) is the wider-budget fallback
-        cands += [
-            (GridParams(rb_bits=8, a_max=5), 70),
-            (GridParams(rb_bits=6, a_max=7), 50),
-            (GridParams(rb_bits=6, a_max=7), 70),
-        ]
+        cands.append((GridParams(rb_bits=8, a_max=5), 70, 2, True, True))
+    elif n == 27 or n == 28:
+        cands.append((GridParams(rb_bits=6, a_max=7), 50, 2, True, True))
+    params, cap = default_geometry(n)
+    if n == 29:
+        cands.append((params, cap, None, True, False))
+    elif n == 30:
+        cands.append((params, cap, None, False, True))
+    else:
+        cands.append((params, cap, None, True, True))
     return cands
 
 
@@ -152,6 +170,7 @@ def _two_sweep_partition(
     mv_cache: list[frozenset],
     a_max: int,
     max_gates: int,
+    balance: bool = True,
 ) -> list[GridSweep] | None:
     """Exact 2-sweep planning by active-set partition enumeration.
 
@@ -211,7 +230,11 @@ def _two_sweep_partition(
         m = sum(need)
         if m > max_gates or ng > 2 * max_gates:
             return None
-        target = min(max(m, half, ng - max_gates), max_gates)
+        # balance=True fills sweep 1 to ~half (28q A/B: [50,50] 38.2 ms
+        # vs [70,30] 43.9); balance=False max-fills it (29q A/B: [70,30]
+        # 94.4 ms vs [50,50] 96.4 — the preference flips with size)
+        fill = half if balance else max_gates
+        target = min(max(m, fill, ng - max_gates), max_gates)
         sel = list(need)
         size1 = m
         for i in range(ng):
@@ -254,6 +277,8 @@ def plan_grid_sweeps(
     n: int | None = None,
     params: GridParams = GridParams(),
     max_gates: int = MAX_SWEEP_GATES,
+    partition: bool = True,
+    balance: bool = True,
 ) -> list[GridSweep]:
     """Partition the circuit into active-bit sweeps via frontier scheduling.
 
@@ -318,7 +343,10 @@ def plan_grid_sweeps(
                     s.gates.append(gates[i])
                     s.active |= mv_cache[i]
                 sweeps.append(s)
-            return _improve_plan(sweeps, gates, mv_cache, a_max, max_gates)
+            return _improve_plan(
+                sweeps, gates, mv_cache, a_max, max_gates,
+                partition, balance,
+            )
 
     sched = FrontierScheduler(gates)
     sweeps: list[GridSweep] = []
@@ -345,7 +373,9 @@ def plan_grid_sweeps(
         cur = GridSweep()
     if cur.gates:
         sweeps.append(cur)
-    return _improve_plan(sweeps, gates, mv_cache, a_max, max_gates)
+    return _improve_plan(
+        sweeps, gates, mv_cache, a_max, max_gates, partition, balance
+    )
 
 
 def _improve_plan(
@@ -354,15 +384,19 @@ def _improve_plan(
     mv_cache: list[frozenset],
     a_max: int,
     max_gates: int,
+    partition: bool = True,
+    balance: bool = True,
 ) -> list[GridSweep]:
     """Post-pass on a frontier plan: when the greedy packer used more
     sweeps than the active-bit lower bound and that bound is 2, replace
     the plan with an enumerated 2-sweep partition (see
     :func:`_two_sweep_partition`)."""
+    if not partition:
+        return sweeps
     used = set().union(*mv_cache) if mv_cache else set()
     bound = -(-len(used) // a_max) if used and a_max else 1
     if len(sweeps) > bound == 2:
-        alt = _two_sweep_partition(gates, mv_cache, a_max, max_gates)
+        alt = _two_sweep_partition(gates, mv_cache, a_max, max_gates, balance)
         if alt is not None:
             return alt
     return sweeps
@@ -597,22 +631,28 @@ def build_grid_sweep_run(
             return GridSweepProgram(
                 circuit, interpret, params, num_qubits=n, max_gates=max_gates
             )
-        # score each geometry candidate on THIS circuit: fewest sweeps,
-        # then smallest max kernel (see geometry_candidates)
-        best = None
+        # first candidate whose plan meets its sweep requirement wins;
+        # the final (requirement-free) entry is the measured default
+        # (see geometry_candidates)
+        chosen = None
+        fallback = None      # a valid plan that missed its sweep target
         err: ValueError | None = None
-        for p, cap in geometry_candidates(n):
+        for p, cap, req, part, bal in geometry_candidates(n):
             try:
-                plan = plan_grid_sweeps(circuit, n, p, cap)
+                plan = plan_grid_sweeps(circuit, n, p, cap, part, bal)
             except ValueError as e:
                 err = e
                 continue
-            score = (len(plan), max(len(s.gates) for s in plan))
-            if best is None or score < best[0]:
-                best = (score, p, plan)
-        if best is None:
+            if req is None or len(plan) <= req:
+                chosen = (p, plan)
+                break
+            if fallback is None:
+                fallback = (p, plan)
+        if chosen is None:
+            chosen = fallback   # e.g. a wide dense gate only a5 can stack
+        if chosen is None:
             raise err if err is not None else ValueError("no geometry fits")
-        _, params, plan = best
+        params, plan = chosen
         return GridSweepProgram(
             circuit, interpret, params, num_qubits=n, plan=plan
         )
