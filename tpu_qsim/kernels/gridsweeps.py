@@ -119,11 +119,15 @@ def geometry_candidates(
     * 27q: rb6/a7 balanced [50,50] 19.2 ms vs rb9/a4 3-sweep 21.7.
     * 28q: rb6/a7 balanced [50,50] 38.2 ms vs [70,30] 43.9 (same sweep
       count — balance itself pays at this size).
-    * 29q: the preference FLIPS: [70,30] 94.4 ms vs balanced [50,50]
-      96.4 — default keeps the frontier fill, partition only rescues
-      odd circuits whose frontier plan exceeds 2 sweeps (balance=False).
-    * 30q: the frontier 3-sweep [70,25,5] 210.7 ms beat the balanced
-      2-sweep [50,50] 227.4 — partition is disabled entirely.
+    * 29q: a wash — [70,30] 94.4/95.5 ms vs balanced [50,50] 96.4/92.7
+      across two paired A/Bs; default keeps the frontier fill,
+      partition rescues odd circuits at balance=False.
+    * 30q: the FILL partition [67,33] 195.5 ms beat both the frontier
+      3-sweep [70,25,5] (210.7) and the balanced [50,50] (226.7) —
+      balance=False, like 29q.
+    * 22q/24q: balanced [50,50] LOSES (1.10 vs 0.834; 3.53 vs 2.844) —
+      below 26q the imbalanced big-kernel defaults stand, so no
+      candidate is added there.
 
     Not every circuit admits a 2-sweep partition (seed-dependent),
     hence per-circuit candidates rather than new fixed defaults.
@@ -134,10 +138,8 @@ def geometry_candidates(
     elif n == 27 or n == 28:
         cands.append((GridParams(rb_bits=6, a_max=7), 50, 2, True, True))
     params, cap = default_geometry(n)
-    if n == 29:
+    if n in (29, 30):
         cands.append((params, cap, None, True, False))
-    elif n == 30:
-        cands.append((params, cap, None, False, True))
     else:
         cands.append((params, cap, None, True, True))
     return cands
