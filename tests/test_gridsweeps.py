@@ -166,6 +166,30 @@ class TestPartitionPlanner:
         assert max(len(s.gates) for s in
                    plan_grid_sweeps(c, 28, prog.params, 50)) == 50
 
+    def test_geometry_policy_pins(self):
+        """Pin the measured per-size partition policy (the balance
+        preference FLIPS with size — every entry is an on-chip A/B,
+        docs/PERF_NOTES.md): 27q balanced [50,50] (19.2 vs 21.7 ms
+        3-sweep), 30q FILL [67,33] (195.5 vs 210.7 3-sweep vs 226.7
+        balanced); 22-25q get no candidate (balanced lost there)."""
+        from tpu_qsim.kernels.gridsweeps import geometry_candidates
+
+        c27 = q.random_circuit(27, 100, seed=42)
+        p27 = build_grid_sweep_run(c27, np.float32)
+        assert (p27.params.rb_bits, p27.params.a_max, p27.num_sweeps) == (
+            6, 7, 2,
+        )
+        c30 = q.random_circuit(30, 100, seed=42)
+        p30 = build_grid_sweep_run(c30, np.float32)
+        assert p30.num_sweeps == 2
+        # fill, not balanced: the larger sweep keeps ~2/3 of the gates
+        plan = plan_grid_sweeps(
+            c30, 30, p30.params, 70, partition=True, balance=False
+        )
+        assert [len(s.gates) for s in plan] == [67, 33]
+        for n in (22, 23, 24, 25):
+            assert len(geometry_candidates(n)) == 1   # default only
+
     def test_production_plan_shapes(self):
         # planning-only (no execution): the 100-gate bench circuits at
         # 26q (under rb8/a5) and 30q (rb6/a7) admit 2-sweep partitions
