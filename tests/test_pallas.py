@@ -273,3 +273,72 @@ class TestTopWindow:
         c.h(10).cnot(15, 14).t(12).swap(2, 5).crz(9, 15, 0.8).h(11)
         got = self._run(c, psi0)
         np.testing.assert_allclose(got, xla_apply(c, psi0), atol=2e-6)
+
+
+class TestMerge1qChains:
+    """merge_1q_chains: commute-aware same-qubit 1q folding (the compute
+    cut of round 3c — every emitted gate is plane-ops over the whole
+    state, so fewer gates is faster; docs/PERF_NOTES.md §10)."""
+
+    def _compose_dense(self, pgates, n):
+        from tpu_qsim.fusion import expand_matrix
+
+        group = tuple(range(n - 1, -1, -1))
+        u = np.eye(1 << n, dtype=np.complex128)
+        for g in pgates:
+            u = expand_matrix(g.u, g.qubits, group) @ u
+        return u
+
+    def test_products_preserved_random(self):
+        from tpu_qsim.kernels.fused_circuit import as_pgates, merge_1q_chains
+
+        for seed in (0, 1, 2):
+            c = random_circuit(6, 40, seed=seed)
+            orig = as_pgates(c.gates)
+            merged = merge_1q_chains(orig)
+            assert len(merged) < len(orig)          # the mixes always fold
+            np.testing.assert_allclose(
+                self._compose_dense(merged, 6),
+                self._compose_dense(orig, 6),
+                atol=1e-12,
+            )
+
+    def test_identity_elision_exact_only(self):
+        from tpu_qsim.kernels.fused_circuit import as_pgates, merge_1q_chains
+
+        c = Circuit(2)
+        c.h(0).h(0)                  # = I: elided
+        c.s(1).s(1)                  # = Z: kept (diag, NOT identity)
+        merged = merge_1q_chains(as_pgates(c.gates))
+        assert len(merged) == 1
+        np.testing.assert_allclose(
+            merged[0].u, np.diag([1.0, -1.0]), atol=1e-12
+        )
+
+    def test_blocked_by_noncommuting_toucher(self):
+        from tpu_qsim.kernels.fused_circuit import as_pgates, merge_1q_chains
+
+        c = Circuit(2)
+        c.h(0)
+        c.cnot(0, 1)   # H then CNOT control on 0: no fold across it
+        c.h(0)
+        merged = merge_1q_chains(as_pgates(c.gates))
+        assert len(merged) == 3
+
+    def test_folds_across_commuting_toucher(self):
+        from tpu_qsim.kernels.fused_circuit import as_pgates, merge_1q_chains
+
+        c = Circuit(2)
+        c.rz(0, 0.3)
+        c.cnot(0, 1)   # Rz commutes with the CNOT control on qubit 0
+        c.rz(0, -0.3)  # folds with the first rz -> exact identity
+        merged = merge_1q_chains(as_pgates(c.gates))
+        assert len(merged) == 1    # only the cnot remains
+        assert merged[0].u.shape == (4, 4)
+
+    def test_kernel_path_matches_oracle_after_merge(self):
+        c = random_circuit(N, 120, seed=33)
+        ours = pallas_apply(c)
+        ora = CPUReferenceSimulator(N)
+        ora.run(c)
+        assert np.abs(np.asarray(ours) - ora.state).max() < 5e-6

