@@ -341,8 +341,12 @@ def main() -> int:
         "vs_baseline": head["vs_baseline"],
         "gates_per_sec_16q": round(NUM_GATES / (head["ms"] / 1e3)),
         "rows": rows,
-        # reference's own synced per-gate table: H @20q = 24,600 gates/s
+        # reference's own synced per-gate table: H @20q = 24,600 gates/s.
+        # Ours is the whole-circuit OPTIMIZING model (window composition +
+        # same-qubit folding), the labeled fused-path column of
+        # benchmarks/benchmark_vendor.py — not a per-gate-call rate.
         "h_20q_gates_per_sec": round(h20) if h20 else None,
+        "h_20q_execution_model": "whole-circuit fused+folded",
         "h_20q_vs_reference_gate_table": (
             round(h20 / 24600.0, 2) if h20 else None
         ),
