@@ -278,8 +278,14 @@ def _bench_row(n: int) -> dict:
 
 
 def _bench_h_throughput(n: int = 20) -> float | None:
-    """Per-gate honest comparison: reference's own synced throughput table
-    says H @20q = 24,600 gates/s (reference README.md:54-63)."""
+    """H-circuit throughput under the whole-circuit OPTIMIZING execution
+    model (window composition + same-qubit folding; the repeated-H
+    workload folds 5 H's per qubit to 1, so 20 of the 100 gates
+    execute). The reference row it is compared against (H @20q =
+    24,600 gates/s, reference README.md:54-63) is a per-gate-call rate;
+    the output labels the model so the two are never read as
+    like-for-like (see also benchmarks/benchmark_vendor.py, which
+    prints both models side by side)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

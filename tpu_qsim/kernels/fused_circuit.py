@@ -1030,7 +1030,11 @@ def _emit_lane_diag(
 
 
 def materialize_ops(
-    gates, rdtype=np.float32, n_bits: int | None = None, profile: str = "kernel"
+    gates,
+    rdtype=np.float32,
+    n_bits: int | None = None,
+    profile: str = "kernel",
+    merge: bool = True,
 ) -> tuple[list[tuple], np.ndarray | None]:
     """Plan + constant-fold a gate list into kernel emission ops.
 
@@ -1049,7 +1053,9 @@ def materialize_ops(
         n_bits = 1 + max(
             (q for g in gates for q in g.qubits), default=LANE_BITS
         )
-    pgates = merge_1q_chains(_to_pgates(gates))
+    pgates = _to_pgates(gates)
+    if merge:    # grid sweeps arrive pre-merged (planner folds first)
+        pgates = merge_1q_chains(pgates)
     if profile in REWRITE_PROFILES:
         pgates = _rewrite_windowable(pgates, n_bits, profile)
     # Ext-phase fusion: a diagonal gate whose qubits are ALL out-of-kernel

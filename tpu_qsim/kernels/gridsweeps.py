@@ -138,7 +138,11 @@ def geometry_candidates(
     elif n == 27 or n == 28:
         cands.append((GridParams(rb_bits=6, a_max=7), 50, 2, True, True))
     params, cap = default_geometry(n)
-    if n in (29, 30):
+    if n >= 29 or n <= 25:
+        # rescue odd >bound frontier plans with the FILL form: balanced
+        # shapes measured slower than imbalanced both at 22-24q (the
+        # +0.7 ms balanced penalty at 24q exceeds a sweep's ~0.35 ms
+        # fixed cost) and at 29-30q; only 26-28q prefer balance.
         cands.append((params, cap, None, True, False))
     else:
         cands.append((params, cap, None, True, True))
@@ -191,23 +195,20 @@ def _two_sweep_partition(
     time is superlinear in kernel gate count), or None.
     """
     from itertools import combinations
+    from math import comb
 
     from ..commute import dependency_edges
 
     used = sorted(set().union(*mv_cache)) if mv_cache else []
     u = len(used)
-    if u <= a_max or u > 2 * a_max:
+    ng = len(gates)
+    if u <= a_max or u > 2 * a_max or ng > 2 * max_gates:
         return None
-    n_parts = sum(
-        1
-        for s1 in range(u - a_max, a_max + 1)
-        for _ in combinations(used, s1)
-    )
-    if n_parts * len(gates) > 4_000_000:
+    n_parts = sum(comb(u, s1) for s1 in range(u - a_max, a_max + 1))
+    if n_parts * ng > 4_000_000:
         return None
 
     preds = dependency_edges(gates)
-    ng = len(gates)
     half = (ng + 1) // 2
 
     def plan_for(s1: frozenset, s2: frozenset) -> tuple | None:
@@ -230,7 +231,7 @@ def _two_sweep_partition(
                 for p in preds[i]:
                     need[p] = True
         m = sum(need)
-        if m > max_gates or ng > 2 * max_gates:
+        if m > max_gates:
             return None
         # balance=True fills sweep 1 to ~half (28q A/B: [50,50] 38.2 ms
         # vs [70,30] 43.9); balance=False max-fills it (29q A/B: [70,30]
@@ -281,6 +282,7 @@ def plan_grid_sweeps(
     max_gates: int = MAX_SWEEP_GATES,
     partition: bool = True,
     balance: bool = True,
+    premerged: bool = False,
 ) -> list[GridSweep]:
     """Partition the circuit into active-bit sweeps via frontier scheduling.
 
@@ -323,11 +325,13 @@ def plan_grid_sweeps(
 
     # fold same-qubit 1q runs BEFORE sweep planning: fewer gates to place
     # (and fewer emitted plane-ops per kernel — the engines are
-    # compute-bound since round 3b). materialize_ops merges again per
-    # sweep, which is a no-op on an already-merged list.
-    from .fused_circuit import merge_1q_chains
+    # compute-bound since round 3b). ``premerged`` skips the O(G^2) pass
+    # when the caller already folded the list (the candidate loop of
+    # build_grid_sweep_run plans the same circuit several times).
+    if not premerged:
+        from .fused_circuit import merge_1q_chains
 
-    gates = merge_1q_chains(gates)
+        gates = merge_1q_chains(gates)
 
     mv_cache = [moving_qubits(g.u, g.qubits) & high for g in gates]
 
@@ -465,7 +469,9 @@ def _build_grid_sweep(
     # total — they pipeline at MXU rate under the block streams). The
     # factorial A/B that looked worse under this profile was confounded by
     # the W-rewrite, which regressed 26q 13.5 -> 22.7 ms on its own.
-    ops, const_table = materialize_ops(kgates, n_bits=kbits, profile="grid")
+    ops, const_table = materialize_ops(
+        kgates, n_bits=kbits, profile="grid", merge=False
+    )
 
     # multi-dim view: (2 planes, bit n-1, ..., bit BLK, RB, 128)
     vshape = (2,) + (2,) * hb + (RB, 128)
@@ -637,9 +643,15 @@ def build_grid_sweep_run(
                 f"{MAX_GRID_QUBITS}, got {n}"
             )
         if max_gates is not None:
+            # explicit cap: keep the size's default geometry AND its
+            # measured partition/balance policy (the bare plan default
+            # of balance=True contradicts the pinned fill policy at
+            # 22-25q and 29-30q)
             params, _ = default_geometry(n)
+            _, _, _, part, bal = geometry_candidates(n)[-1]
+            plan = plan_grid_sweeps(circuit, n, params, max_gates, part, bal)
             return GridSweepProgram(
-                circuit, interpret, params, num_qubits=n, max_gates=max_gates
+                circuit, interpret, params, num_qubits=n, plan=plan
             )
         # first candidate whose plan meets its sweep requirement wins;
         # the final (requirement-free) entry is the measured default
@@ -647,9 +659,21 @@ def build_grid_sweep_run(
         chosen = None
         fallback = None      # a valid plan that missed its sweep target
         err: ValueError | None = None
+        merged = None        # fold once, not once per candidate
         for p, cap, req, part, bal in geometry_candidates(n):
             try:
-                plan = plan_grid_sweeps(circuit, n, p, cap, part, bal)
+                if merged is None:
+                    from .fused_circuit import merge_1q_chains
+
+                    raw = (
+                        circuit.gates
+                        if isinstance(circuit, Circuit)
+                        else list(circuit)
+                    )
+                    merged = merge_1q_chains(as_pgates(raw))
+                plan = plan_grid_sweeps(
+                    merged, n, p, cap, part, bal, premerged=True
+                )
             except ValueError as e:
                 err = e
                 continue
