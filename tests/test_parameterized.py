@@ -4,6 +4,8 @@ cp gate) — capabilities beyond the reference's surface."""
 import numpy as np
 import pytest
 
+import tpu_qsim as q
+
 from tpu_qsim import (
     Circuit,
     CPUReferenceSimulator,
@@ -154,3 +156,121 @@ class TestNonTracedParamGateRejected:
         # plain run() still works with the custom gate
         sim.run(c)
         assert sim.total_probability() == pytest.approx(1.0, abs=1e-10)
+
+
+class TestDifferentiableExpectation:
+    """build_expectation_fn: pure params -> <H> with reverse-mode
+    gradients through the whole circuit (capability the reference could
+    not express: no parameter abstraction, reference
+    include/Circuit.hpp:64-84, and observables limited to
+    probabilities)."""
+
+    def test_value_matches_stateful_path(self):
+        import jax.numpy as jnp
+
+        c = Circuit(3)
+        c.ry(0, 0.4).ry(1, -0.9).cnot(0, 1).rz(2, 0.5).cnot(1, 2).rx(2, 1.3)
+        f = q.build_expectation_fn(c, "ZXZ")
+        got = float(f(jnp.asarray(c.params())))
+        sim = q.StateVectorSimulator(3)
+        sim.run(c)
+        assert abs(got - sim.expectation_pauli("ZXZ")) < 1e-6
+
+    def test_grad_is_analytic_for_single_rotation(self):
+        import jax
+        import jax.numpy as jnp
+
+        c = Circuit(1)
+        c.ry(0, 0.0)
+        f = q.build_expectation_fn(c, "Z")       # <Z> = cos(theta)
+        for theta in (0.0, 0.3, 1.2, -2.1):
+            v, g = jax.value_and_grad(f)(jnp.asarray([theta]))
+            assert abs(float(v) - np.cos(theta)) < 1e-6
+            assert abs(float(g[0]) + np.sin(theta)) < 1e-6
+
+    def test_grad_matches_finite_differences(self):
+        import jax
+        import jax.numpy as jnp
+
+        c = Circuit(3)
+        c.ry(0, 0.0).ry(1, 0.0).ry(2, 0.0).cnot(0, 1).cnot(1, 2)
+        c.rz(1, 0.0).rx(2, 0.0)
+        f = q.build_expectation_fn(c, "XZY")
+        params = jnp.asarray([0.4, -0.9, 0.7, 0.2, 1.3])
+        g = np.asarray(jax.grad(f)(params))
+        eps = 1e-3
+        for i in range(len(params)):
+            e = jnp.zeros_like(params).at[i].set(eps)
+            fd = (float(f(params + e)) - float(f(params - e))) / (2 * eps)
+            assert abs(g[i] - fd) < 5e-4
+
+    def test_pauli_sum_observable(self):
+        import jax.numpy as jnp
+
+        c = Circuit(2)
+        c.ry(0, 0.7).cnot(0, 1).rz(1, -0.3)
+        params = jnp.asarray(c.params())
+        h = [(0.5, "II"), (1.25, "ZZ"), (-2.0, "XI")]
+        f = q.build_expectation_fn(c, h)
+        parts = [
+            q.build_expectation_fn(c, p)(params) for _, p in h
+        ]
+        want = sum(co * float(v) for (co, _), v in zip(h, parts))
+        assert abs(float(f(params)) - want) < 1e-6
+
+    def test_vmap_batches_parameter_sweeps(self):
+        import jax
+        import jax.numpy as jnp
+
+        c = Circuit(1)
+        c.ry(0, 0.0)
+        f = q.build_expectation_fn(c, "Z")
+        thetas = jnp.asarray([[0.1], [0.9], [2.2]])
+        batch = np.asarray(jax.vmap(f)(thetas))
+        np.testing.assert_allclose(
+            batch, np.cos([0.1, 0.9, 2.2]), atol=1e-6
+        )
+
+    def test_invalid_pauli_raises(self):
+        c = Circuit(2)
+        c.ry(0, 0.1)
+        with pytest.raises(ValueError, match="invalid Pauli"):
+            q.build_expectation_fn(c, "ZQ")
+        with pytest.raises(ValueError, match="invalid Pauli"):
+            q.build_expectation_fn(c, "ZZZ")   # longer than the register
+
+
+class TestQAOAGradientDescent:
+    EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+
+    def test_objective_matches_stateful_expectation(self):
+        import jax.numpy as jnp
+
+        from tpu_qsim.algorithms import (
+            maxcut_expectation,
+            qaoa_maxcut_circuit,
+            qaoa_maxcut_objective,
+        )
+
+        obj = qaoa_maxcut_objective(self.EDGES, 4, depth=1)
+        got = float(obj(jnp.asarray([0.37]), jnp.asarray([-0.44])))
+        sim = q.StateVectorSimulator(4)
+        sim.run(qaoa_maxcut_circuit(self.EDGES, 4, [0.37], [-0.44]))
+        assert abs(got - maxcut_expectation(sim, self.EDGES)) < 1e-6
+
+    def test_gradient_ascent_improves_the_cut(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_qsim.algorithms import qaoa_maxcut_objective
+
+        obj = qaoa_maxcut_objective(self.EDGES, 4, depth=1)
+        loss = lambda p: -obj(p[:1], p[1:])     # noqa: E731
+        p = jnp.asarray([0.2, 0.2])
+        start = -float(loss(p))
+        step = jax.jit(jax.grad(loss))
+        for _ in range(60):
+            p = p - 0.1 * step(p)
+        end = -float(loss(p))
+        assert end > start + 0.2                # a real improvement
+        assert end > 3.0                        # near the p=1 optimum

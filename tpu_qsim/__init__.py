@@ -20,7 +20,7 @@ from .circuit import (
 )
 from .config import DEFAULT_CONFIG, SimConfig
 from .cpu_reference import CPUReferenceSimulator
-from .statevector import StateVectorSimulator
+from .statevector import StateVectorSimulator, build_expectation_fn
 
 __all__ = [
     "Circuit",
@@ -34,6 +34,7 @@ __all__ = [
     "DEFAULT_CONFIG",
     "CPUReferenceSimulator",
     "StateVectorSimulator",
+    "build_expectation_fn",
     "simulate",
 ]
 

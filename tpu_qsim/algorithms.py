@@ -99,6 +99,62 @@ def qaoa_maxcut_circuit(
     return c
 
 
+def qaoa_maxcut_objective(
+    edges: Sequence[tuple[int, int]],
+    num_qubits: int,
+    depth: int = 1,
+):
+    """Differentiable QAOA objective: ``(gammas, betas) -> <C>``.
+
+    Builds the depth-``depth`` ansatz once and returns a pure function
+    of the two length-``depth`` angle vectors that evaluates the MaxCut
+    expectation <C> = sum over edges of (1 - <Z_a Z_b>)/2 on ONE state
+    preparation (weighted Pauli-sum observable). Maximize it with
+    ``jax.grad``:
+
+        obj = qaoa_maxcut_objective(edges, n, depth=2)
+        step = jax.jit(jax.grad(lambda p: -obj(p[0], p[1])))
+
+    The per-gate parameter vector the executable expects is
+    reconstructed from the shared (gamma, beta) angles layer by layer
+    (per layer: one rz(-gamma) per edge, then one rx(2 beta) per
+    qubit), so gradients flow through the sharing. The reference had no
+    parameter abstraction, no observables beyond probabilities, and no
+    differentiation of any kind.
+    """
+    import jax.numpy as jnp
+
+    from .statevector import build_expectation_fn
+
+    circuit = qaoa_maxcut_circuit(
+        edges, num_qubits, [0.0] * depth, [0.0] * depth
+    )
+    terms = [(0.5 * len(edges), "I" * num_qubits)]
+    for a, b in edges:
+        zz = ["I"] * num_qubits
+        zz[num_qubits - 1 - a] = "Z"
+        zz[num_qubits - 1 - b] = "Z"
+        terms.append((-0.5, "".join(zz)))
+    expect_h = build_expectation_fn(circuit, terms)
+    n_edges = len(edges)
+
+    def objective(gammas, betas):
+        gammas = jnp.asarray(gammas)
+        betas = jnp.asarray(betas)
+        layers = [
+            jnp.concatenate(
+                [
+                    jnp.full((n_edges,), -gammas[layer]),
+                    jnp.full((num_qubits,), 2.0 * betas[layer]),
+                ]
+            )
+            for layer in range(depth)
+        ]
+        return expect_h(jnp.concatenate(layers))
+
+    return objective
+
+
 def maxcut_expectation(sim, edges: Sequence[tuple[int, int]]) -> float:
     """<C> = sum over edges of (1 - <Z_a Z_b>) / 2 on the simulator's state."""
     total = 0.0
