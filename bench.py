@@ -32,12 +32,13 @@ import time
 # 26, reference benchmarks/benchmark_scaling.cu:24) though its own cap is
 # MAX_QUBITS=30 (Constants.hpp:68); the 26q 100-H stand-in is reused so the
 # rows still report a multiple.
-BASELINES_MS = {16: 0.29, 20: 0.28, 22: 0.28, 24: 0.24, 26: 0.24, 28: 0.24,
-                29: 0.24, 30: 0.24}
+BASELINES_MS = {16: 0.29, 20: 0.28, 22: 0.28, 24: 0.24, 26: 0.24, 27: 0.24,
+                28: 0.24, 29: 0.24, 30: 0.24}
 NUM_GATES = 100
 # chained loop counts sized so t(4K)-t(K) >> the ~±2 ms tunnel-readback
 # noise at each size's per-circuit time
-LOOPS = {16: 1500, 20: 100, 22: 20, 24: 8, 26: 3, 28: 1, 29: 1, 30: 1}
+LOOPS = {16: 1500, 20: 100, 22: 20, 24: 8, 26: 3, 27: 2, 28: 1, 29: 1,
+         30: 1}
 HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 
@@ -321,7 +322,7 @@ def main() -> int:
     float(jnp.sum(jnp.ones((8,), jnp.float32)))
 
     rows: dict[str, dict] = {}
-    for n in (16, 20, 22, 24, 26, 28, 29, 30):
+    for n in (16, 20, 22, 24, 26, 27, 28, 29, 30):
         try:
             rows[str(n)] = _bench_row_large(n) if n >= 29 else _bench_row(n)
         except Exception as e:  # a failed row must not hide the others
