@@ -236,6 +236,47 @@ class TestCorrectness:
             ours, _ = run_grid(c)
             assert np.abs(ours - oracle_state(c)).max() < 5e-6
 
+    def test_ext_controlled_cond_branch(self):
+        # Program 2's controls sit on bit 12, which it never MOVES — the
+        # planner leaves it inactive, so those gates take the
+        # scalar-predicate lax.cond path (fused_circuit.EXT_CTRL_COND).
+        # Program 1 superposes bit 12 first (in its own program, where 12
+        # is active), so both cond arms see nonzero amplitudes. Identical
+        # results with the blend fallback.
+        from tpu_qsim.kernels import fused_circuit as fc
+
+        c1 = Circuit(13)
+        c1.h(12).h(0).h(1)
+        c2 = Circuit(13)
+        c2.cnot(12, 3).cry(12, 1, 0.8).toffoli(12, 2, 4)
+        c2.h(10).cnot(10, 11).rz(12, 0.3)
+
+        def run_pair():
+            p1 = build_grid_sweep_run(c1, np.float32, interpret=True, params=P)
+            p2 = build_grid_sweep_run(c2, np.float32, interpret=True, params=P)
+            x = ap.initial_state(13, np.float32)
+            return np.asarray(ap.to_complex(p2.run(p1.run(x)))), p2
+
+        assert fc.EXT_CTRL_COND
+        ours_on, p2 = run_pair()
+        assert all(
+            12 not in s for s in map(set, p2.active_sets)
+        )  # the control really is ext in program 2
+        both = Circuit(13)
+        for g in list(c1.gates) + list(c2.gates):
+            both.append(g)
+        assert np.abs(ours_on - oracle_state(both)).max() < 5e-6
+        # cnot(10, 11)'s control relabels to kernel bit 10 — the
+        # CTRL_SLAB_SLICE path; disable both knobs and demand identity
+        try:
+            fc.EXT_CTRL_COND = False
+            fc.CTRL_SLAB_SLICE = False
+            ours_off, _ = run_pair()
+        finally:
+            fc.EXT_CTRL_COND = True
+            fc.CTRL_SLAB_SLICE = True
+        assert np.abs(ours_on - ours_off).max() == 0.0
+
     def test_deep_circuit(self):
         c = q.random_circuit(12, 300, seed=11)
         ours, _ = run_grid(c)

@@ -481,6 +481,21 @@ def _emit_gate(
         if has_ext:
             v = _controlled_split(u)
             if v is not None:
+                if EXT_CTRL_COND and qubits[0] in ext:
+                    # The control is an out-of-kernel bit: the predicate is
+                    # a per-invocation SCALAR (step / program_id bit), so
+                    # the sub-gate can branch away entirely (lax.cond ->
+                    # scf.if) instead of compute-then-blend — the ~half of
+                    # the blocks with control=0 skip the gate's plane-ops.
+                    return jax.lax.cond(
+                        ext[qubits[0]] != 0,
+                        lambda a, b: _emit_gate(
+                            a, b, v, qubits[1:], n, interpret, ext
+                        ),
+                        lambda a, b: (a, b),
+                        xr,
+                        xi,
+                    )
                 yr, yi = _emit_gate(xr, xi, v, qubits[1:], n, interpret, ext)
                 ctrl = _bit_mask(xr.shape, qubits[0], ext)
                 return jnp.where(ctrl, yr, xr), jnp.where(ctrl, yi, xi)
@@ -502,6 +517,44 @@ def _emit_gate(
         if k >= 2:
             v = _controlled_split(u)
             if v is not None:
+                q0 = qubits[0]
+                if CTRL_SLAB_SLICE and q0 >= LANE_BITS + 3:
+                    # Control on a high row bit: expose it as a leading
+                    # axis and emit the sub-gate on the control=1 slab
+                    # only. Gate bits below q0 keep their positions inside
+                    # the half-size plane; row bits above q0 shift down
+                    # one position when the control axis is sliced away,
+                    # so they are relabeled (all emission helpers derive
+                    # layout from the operand shape). Halves the
+                    # sub-gate's plane-ops and replaces the 2-plane blend
+                    # with a restack. b = 2^(q0-7) >= 8 keeps every
+                    # boundary sublane-tile aligned.
+                    rows = xr.shape[0]
+                    rb = q0 - LANE_BITS
+                    a = rows >> (rb + 1)
+                    b = 1 << rb
+                    vr = xr.reshape(a, 2, b, LANES)
+                    vi = xi.reshape(a, 2, b, LANES)
+                    yr, yi = _emit_gate(
+                        vr[:, 1].reshape(a * b, LANES),
+                        vi[:, 1].reshape(a * b, LANES),
+                        v,
+                        tuple(
+                            qq - 1 if qq > q0 else qq for qq in qubits[1:]
+                        ),
+                        n - 1,
+                        interpret,
+                    )
+                    outr = jnp.stack(
+                        [vr[:, 0], yr.reshape(a, b, LANES)], axis=1
+                    )
+                    outi = jnp.stack(
+                        [vi[:, 0], yi.reshape(a, b, LANES)], axis=1
+                    )
+                    return (
+                        outr.reshape(rows, LANES),
+                        outi.reshape(rows, LANES),
+                    )
                 # controlled-U as select-of-recursion: emit V on the
                 # remaining qubits, keep the control=0 half untouched.
                 # Collapses cross-axis cnot/toffoli/cry from the full
@@ -610,6 +663,12 @@ REWRITE_PROFILES: frozenset = frozenset()
 # Ext-phase fusion: fold all out-of-kernel diagonal gates into one scalar
 # complex multiply per kernel (cannot lose: replaces >= 1 plane-op each).
 EXT_PHASE_FUSION = True
+# Ext-controlled gates branch (lax.cond on the scalar step-bit predicate)
+# instead of compute-then-blend: control=0 blocks skip the sub-gate.
+EXT_CTRL_COND = True
+# In-kernel controls on high row bits slice out the control=1 slab and
+# emit the sub-gate on the half-size plane instead of compute-then-blend.
+CTRL_SLAB_SLICE = True
 
 
 def _cost_tables(profile: str):
