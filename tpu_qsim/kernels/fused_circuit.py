@@ -665,10 +665,18 @@ REWRITE_PROFILES: frozenset = frozenset()
 EXT_PHASE_FUSION = True
 # Ext-controlled gates branch (lax.cond on the scalar step-bit predicate)
 # instead of compute-then-blend: control=0 blocks skip the sub-gate.
-EXT_CTRL_COND = True
+# OFF: on real Mosaic the cond lowers to a scalar-predicate
+# `arith.select` over (8,128) vectors, which fails legalization
+# ("failed to legalize operation 'arith.select'", job 153 — interpret
+# mode accepts it, the TPU compiler does not). Exact-identity tested;
+# re-try if a future Mosaic legalizes scalar-pred vector selects.
+EXT_CTRL_COND = False
 # In-kernel controls on high row bits slice out the control=1 slab and
 # emit the sub-gate on the half-size plane instead of compute-then-blend.
-CTRL_SLAB_SLICE = True
+# OFF: measured on-chip as a net REGRESSION (job 153: 20q 0.123->0.137,
+# 22q 0.67->0.74, 24q 2.37->2.96 ms) — the expose-slice-restack
+# relayout costs more than the saved half-plane blend at every size.
+CTRL_SLAB_SLICE = False
 
 
 def _cost_tables(profile: str):
