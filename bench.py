@@ -307,7 +307,11 @@ def _bench_h_throughput(n: int = 20) -> float | None:
     x = ap.initial_state(n, np.float32)
     if hasattr(inner, "run_view"):
         inner, x = inner.run_view, inner.to_view(x)
-    per_s = _two_point(jax, jnp, inner, x, 50)
+    # lo=250 (not 50): the folded H circuit runs ~0.06 ms, so a 50-loop
+    # two-point delta is ~9 ms — too close to the ~±2 ms tunnel noise
+    # (the one 3.53M gates/s outlier reading came from exactly that; 7
+    # later measurements across 3 sessions sit at 1.4-1.9M)
+    per_s = _two_point(jax, jnp, inner, x, 250)
     return NUM_GATES / per_s
 
 
