@@ -315,6 +315,23 @@ class TestMerge1qChains:
             merged[0].u, np.diag([1.0, -1.0]), atol=1e-12
         )
 
+    def test_bench_h_workload_folds_5_to_1(self):
+        # bench._bench_h_throughput's documented execution model: 100
+        # round-robin H's on 20 qubits (5 per qubit, all mutually
+        # commuting across qubits) fold to exactly one H per qubit.
+        from tpu_qsim.kernels.fused_circuit import as_pgates, merge_1q_chains
+
+        c = Circuit(20)
+        for i in range(100):
+            c.h(i % 20)
+        merged = merge_1q_chains(as_pgates(c.gates))
+        assert len(merged) == 20
+        assert sorted(g.qubits[0] for g in merged) == list(range(20))
+        for g in merged:
+            np.testing.assert_allclose(
+                g.u, np.array([[1, 1], [1, -1]]) / np.sqrt(2), atol=1e-12
+            )
+
     def test_blocked_by_noncommuting_toucher(self):
         from tpu_qsim.kernels.fused_circuit import as_pgates, merge_1q_chains
 
