@@ -456,3 +456,13 @@ class TestMeasuredGeometryDefaults:
         assert default_max_gates(22) == default_max_gates(23) == 90
         assert default_max_gates(24) == default_max_gates(25) == 80
         assert default_max_gates(26) == 56
+
+    def test_planner_rejects_nonpositive_max_gates(self):
+        # max_gates=0 would make the frontier loop spin forever (a fresh
+        # sweep could never absorb a gate) — must raise, not hang
+        from tpu_qsim.kernels.gridsweeps import plan_grid_sweeps
+
+        c = Circuit(22)
+        c.h(0).cnot(0, 21)
+        with pytest.raises(ValueError, match="max_gates"):
+            plan_grid_sweeps(c, max_gates=0)

@@ -301,6 +301,10 @@ def plan_grid_sweeps(
         raw = list(circuit)
         if n is None:
             raise ValueError("n is required for a raw gate list")
+    if max_gates < 1:
+        # a fresh sweep must absorb >= 1 ready gate for the frontier loop
+        # to make progress; 0 would spin forever
+        raise ValueError(f"max_gates must be >= 1, got {max_gates}")
     high = frozenset(range(params.blk_bits, n))
     a_max = min(params.a_max, n - params.blk_bits)
 
