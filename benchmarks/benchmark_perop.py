@@ -19,6 +19,9 @@ NOTE: each class compiles its own grid kernel through the remote relay
 (~minutes at 26q geometry) — expect a 20-40 min cold run; warm cache
 re-runs take ~2 min. Small-width 1q classes (lane = 7 emitted ops) carry
 proportionally more two-point noise; read them as bands.
+
+`--plan-only` builds and plans every class without executing (fast,
+device-free) — the CI smoke mode.
 """
 
 from __future__ import annotations
@@ -64,6 +67,8 @@ def main() -> int:
     ap_.add_argument("--size", type=int, default=26)
     ap_.add_argument("--ops", type=int, default=40)
     ap_.add_argument("--reps", type=int, default=6)
+    ap_.add_argument("--plan-only", action="store_true",
+                     help="plan every class without executing (CI smoke)")
     args = ap_.parse_args()
 
     jax = setup_jax()
@@ -78,6 +83,16 @@ def main() -> int:
 
     n, k = args.size, args.ops
     params, cap = default_geometry(n)
+
+    if args.plan_only:
+        for name, make in [("floor (1 diag)", lambda c: c.rz(0, 0.3))] + classes(n, k):
+            c = q.Circuit(n)
+            make(c)
+            plan = plan_grid_sweeps(c, params=params, max_gates=cap)
+            emitted = sum(len(s.gates) for s in plan)
+            print(f"{name:22s} emitted={emitted:3d} sweeps={len(plan)}", flush=True)
+        print("plan-only: all classes planned")
+        return 0
 
     def measure(name, make):
         c = q.Circuit(n)

@@ -46,6 +46,15 @@ class TestBenchmarkScripts:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "qubits" in r.stdout
 
+    def test_perop_plan_only(self):
+        # device-free: plans every emission class through the production
+        # grid planner at the headline 26q geometry
+        r = run_script(
+            ["benchmarks/benchmark_perop.py", "--size", "26", "--plan-only"]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "all classes planned" in r.stdout
+
     def test_validation_conventions(self):
         r = run_script(["validation/validate_conventions.py"])
         assert r.returncode == 0, r.stdout[-2000:]
