@@ -429,6 +429,40 @@ class TestFacadeViewCache:
         np.testing.assert_allclose(sim.get_probabilities()[0], 1.0)
 
 
+class TestHotBitFill:
+    """Spare active-slot padding targets ext-control bits (the ~417 us/op
+    per-op class, docs/PERF_NOTES.md §13) and avoids pulling extphase-fused
+    diagonal bits in-kernel."""
+
+    def test_fill_prefers_ctrl_bits_avoids_diag_bits(self):
+        from tpu_qsim.kernels.gridsweeps import _pad_active
+
+        c = Circuit(13)
+        for i in range(5):
+            c.cnot(12, i)        # bit 12: non-moving ctrl of a dense gate
+        for _ in range(3):
+            c.rz(11, 0.3)        # bit 11: diagonal — extphase keeps it free
+        plan = plan_grid_sweeps(c, 13, P)
+        assert plan[0].active == set()       # nothing moves above blk
+        padded = _pad_active(plan[0], 13, P.blk_bits, P.a_max)
+        assert 12 in padded                  # hot ctrl bit rides in-kernel
+        assert 11 not in padded              # diag bit stays external
+
+    def test_fill_flag_off_matches_on(self):
+        from tpu_qsim.kernels import gridsweeps as gs
+
+        c = q.random_circuit(13, 40, seed=11)
+        ref, _ = run_grid(c)
+        old = gs.FILL_HOT_BITS
+        gs.FILL_HOT_BITS = False
+        try:
+            off, _ = run_grid(c)
+        finally:
+            gs.FILL_HOT_BITS = old
+        np.testing.assert_allclose(ref, off, atol=1e-6)
+        np.testing.assert_allclose(ref, oracle_state(c), atol=1e-6)
+
+
 class TestMeasuredGeometryDefaults:
     """Pin the on-chip-measured per-size geometry (docs/PERF_NOTES.md §6-7).
     These values are load-bearing performance calibration — a silent change

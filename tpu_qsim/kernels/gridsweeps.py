@@ -51,6 +51,7 @@ from .fused_circuit import (
     LANE_BITS,
     PGate,
     _SWAP_U,
+    _is_diagonal,
     as_pgates,
     emit_ops,
     materialize_ops,
@@ -58,6 +59,9 @@ from .fused_circuit import (
 from .sweeps import _EXT_BASE, _VMEM_LIMIT, MAX_SWEEP_GATES, moving_qubits
 
 RB_BITS = 9                      # row bits per slice: slice = bits [0, 16)
+# Spend spare active-bit slots on the sweep's hottest ext-control bits
+# (scored by the §13 per-op-class costs) instead of the lowest high bits.
+FILL_HOT_BITS = True
 A_MAX = 4                        # active bits per sweep (VMEM-bounded)
 MIN_GRID_QUBITS = RB_BITS + LANE_BITS + A_MAX + 1   # 21
 MAX_GRID_QUBITS = 30                 # = reference MAX_QUBITS (Constants.hpp:68)
@@ -440,6 +444,37 @@ def _relabel_active(
     return out
 
 
+def _pad_active(sweep: GridSweep, n: int, BLK: int, a_max: int) -> list[int]:
+    """Pad the sweep's active set to ``a_max``: a larger block halves the
+    step count and an unused in-kernel bit costs no extra bytes — but WHICH
+    bit rides along matters. A control on an inactive high bit resolves as
+    a per-invocation scalar select (~417 us/op at 26q, docs/PERF_NOTES.md
+    §13) while the same control on an active (stacked-row) bit is an
+    iota-mask blend (~194 us/op); conversely ext diagonal bits ride the
+    extphase fusion for free while in-kernel diag costs ~43 us/op. Spend
+    the spare slots on the bits with the best measured trade, then fill any
+    remainder with the lowest high bits."""
+    active = set(sweep.active)
+    spare = a_max - len(active)
+    if FILL_HOT_BITS and spare > 0:
+        score: dict[int, float] = {}
+        for g in sweep.gates:
+            w = -43.0 if _is_diagonal(g.u) else 223.0
+            for q in set(g.qubits):
+                if BLK <= q < n and q not in active:
+                    score[q] = score.get(q, 0.0) + w
+        hot = sorted(
+            (q for q, v in score.items() if v > 0),
+            key=lambda q: (-score[q], q),
+        )[:spare]
+        active |= set(hot)
+    for p in range(BLK, n):
+        if len(active) >= a_max:
+            break
+        active.add(p)
+    return sorted(active)
+
+
 def _build_grid_sweep(
     sweep: GridSweep,
     n: int,
@@ -452,14 +487,7 @@ def _build_grid_sweep(
     hb = n - BLK                              # high-bit axes
     a_max = min(params.a_max, hb)
 
-    # pad the active set to a_max: a larger block halves the step count and
-    # an unused in-kernel bit costs nothing
-    active = set(sweep.active)
-    for p in range(BLK, n):
-        if len(active) >= a_max:
-            break
-        active.add(p)
-    active = sorted(active)
+    active = _pad_active(sweep, n, BLK, a_max)
     a = len(active)
     nop = 1 << a
     rows = nop * RB
