@@ -283,6 +283,88 @@ class TestCorrectness:
             fc.EXT_CTRL_COND, fc.CTRL_SLAB_SLICE = saved
         assert np.abs(ours_on - ours_off).max() == 0.0
 
+    def test_diagonalize_controlled_pass_exact(self):
+        # C-V -> (I x W) . C-diag . (I x W-dagger): the three replacement
+        # factors must compose to the original gate exactly (host
+        # complex128), and diagonal / plain-dense gates must pass through.
+        from tpu_qsim.fusion import expand_matrix
+        from tpu_qsim.kernels.fused_circuit import (
+            as_pgates,
+            diagonalize_controlled,
+        )
+
+        cases = [
+            ("cnot", (1, 0), None),
+            ("cry", (1, 2), 0.7),
+            ("toffoli", (2, 1, 0), None),
+            ("crz", (0, 2), 1.3),      # diagonal: pass-through
+            ("cz", (0, 1), None),      # diagonal: pass-through
+            ("swap", (0, 1), None),    # dense non-controlled: pass-through
+            ("h", (2,), None),         # 1q dense: pass-through
+        ]
+        for name, qubits, p in cases:
+            u = gate_matrix(name, p)
+            out = diagonalize_controlled(as_pgates([(u, qubits)]))
+            if name in ("crz", "cz", "swap", "h"):
+                assert len(out) == 1 and out[0].u is not None
+                assert np.abs(out[0].u - u).max() == 0.0
+                continue
+            assert len(out) == 3
+            order = tuple(range(2, -1, -1))
+            acc = np.eye(8, dtype=np.complex128)
+            for g in out:
+                acc = expand_matrix(g.u, g.qubits, order) @ acc
+            ref = expand_matrix(u, qubits, order)
+            assert np.abs(acc - ref).max() < 1e-12
+            # the middle factor is the diagonal, the outer two are 1q
+            from tpu_qsim.kernels.fused_circuit import _is_diagonal
+
+            assert _is_diagonal(out[1].u)
+            assert len(out[0].qubits) == 1 and len(out[2].qubits) == 1
+
+    def test_diag_ctrl_grid_vs_oracle(self):
+        # End-to-end grid execution with the DIAG_CTRL rewrite on: random
+        # mixes (ext / active / row / lane control placements) and the
+        # all-kinds circuit must match the oracle, and no controlled-dense
+        # blend may remain in the planned programs.
+        from tpu_qsim.kernels import fused_circuit as fc
+        from tpu_qsim.kernels.fused_circuit import (
+            _controlled_split,
+            _is_diagonal,
+        )
+
+        saved = fc.DIAG_CTRL
+        try:
+            fc.DIAG_CTRL = True
+            for c in (
+                q.random_circuit(13, 60, seed=2),
+                q.random_circuit(12, 80, seed=9),
+            ):
+                ours, prog = run_grid(c)
+                assert np.abs(ours - oracle_state(c)).max() < 5e-6
+                for sw_gates in prog.sweep_gates:
+                    for g in sw_gates:
+                        assert _is_diagonal(g.u) or (
+                            _controlled_split(g.u) is None
+                            or len(g.qubits) > 2
+                        ), "controlled-1q blend survived the rewrite"
+            c = Circuit(12)
+            c.h(0).x(11).cnot(0, 11).cnot(10, 2).cz(3, 11)
+            c.cry(11, 4, 0.5).crz(1, 10, 0.9).toffoli(0, 11, 5)
+            c.cp(10, 3, 0.4).swap(2, 9).h(11)
+            ours, _ = run_grid(c)
+            assert np.abs(ours - oracle_state(c)).max() < 5e-6
+            # plan-local ext-only mode: same circuits, same oracle bar
+            fc.DIAG_CTRL = "ext"
+            for c2 in (
+                q.random_circuit(13, 60, seed=2),
+                q.random_circuit(12, 80, seed=9),
+            ):
+                ours, _ = run_grid(c2)
+                assert np.abs(ours - oracle_state(c2)).max() < 5e-6
+        finally:
+            fc.DIAG_CTRL = saved
+
     def test_deep_circuit(self):
         c = q.random_circuit(12, 300, seed=11)
         ours, _ = run_grid(c)

@@ -677,6 +677,60 @@ EXT_CTRL_COND = False
 # 22q 0.67->0.74, 24q 2.37->2.96 ms) — the expose-slice-restack
 # relayout costs more than the saved half-plane blend at every size.
 CTRL_SLAB_SLICE = False
+# Controlled-1q diagonalization for the grid engine: C-V with dense V
+# emits as compute-then-blend (136-417 us/op over a 26q state, docs/
+# PERF_NOTES.md §13) while diagonal gates cost ~0-43 us at ANY control
+# placement (including out-of-kernel scalar controls). Rewriting
+# C-V -> (I⊗W)·C-diag(λ)·(I⊗W†), V = WΛW† (cnot -> H·CZ·H), trades the
+# blend for a diagonal plus two 1q denses that merge_1q_chains folds
+# into neighboring same-qubit 1q runs. Modes:
+#   False  — off (blend emission, the round-3d state);
+#   "all"  — rewrite every controlled-1q BEFORE the fold pass in the
+#            grid planner, so the W factors merge into 1q runs;
+#   "ext"  — plan-local: rewrite only gates whose control lands on an
+#            out-of-kernel (ext) bit inside each built sweep — exactly
+#            the 417 us/op scalar-select class — leaving cheap in-kernel
+#            blends alone (the W factors are emitted unmerged here).
+DIAG_CTRL: bool | str = False
+
+
+def diagonalize_controlled(
+    pgates: list[PGate], only_ext_base: int | None = None
+) -> list[PGate]:
+    """C-V -> (I⊗W) · C-diag(λ) · (I⊗W†) for every (multi-)controlled
+    dense-1q-core gate (cnot/cry/toffoli/...); other gates pass through.
+
+    ``only_ext_base``: rewrite only gates with at least one control qubit
+    id >= this value (the relabeled ext ids of a built sweep kernel).
+
+    The replacement is exact (complex128 host eigendecomposition,
+    verified by :func:`_eig_1q` to 1e-11); application order in the
+    returned list is W† first, then the controlled diagonal, then W."""
+    out: list[PGate] = []
+    for pg in pgates:
+        if _is_diagonal(pg.u):
+            out.append(pg)
+            continue
+        r = _split_controlled_1q(pg)
+        if r is not None and only_ext_base is not None:
+            if not any(c >= only_ext_base for c in r[0]):
+                r = None
+        e = _eig_1q(r[1]) if r is not None else None
+        if e is None:
+            out.append(pg)
+            continue
+        ctrls, _, t = r
+        w, lam = e
+        k = len(ctrls) + 1
+        dvec = np.ones(1 << k, dtype=np.complex128)
+        dvec[-2] = lam[0]
+        dvec[-1] = lam[1]
+        wd = np.ascontiguousarray(w.conj().T)
+        d = np.diag(dvec)
+        out.append(PGate(wd, (t,), matrix_classes(wd, (t,))))
+        out.append(PGate(d, ctrls + (t,), matrix_classes(d, ctrls + (t,))))
+        out.append(PGate(w, (t,), matrix_classes(w, (t,))))
+    return out
 
 
 def _cost_tables(profile: str):

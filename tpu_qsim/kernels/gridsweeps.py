@@ -337,9 +337,11 @@ def plan_grid_sweeps(
     # when the caller already folded the list (the candidate loop of
     # build_grid_sweep_run plans the same circuit several times).
     if not premerged:
-        from .fused_circuit import merge_1q_chains
+        import tpu_qsim.kernels.fused_circuit as _fc
 
-        gates = merge_1q_chains(gates)
+        if _fc.DIAG_CTRL in (True, "all"):
+            gates = _fc.diagonalize_controlled(gates)
+        gates = _fc.merge_1q_chains(gates)
 
     mv_cache = [moving_qubits(g.u, g.qubits) & high for g in gates]
 
@@ -496,6 +498,13 @@ def _build_grid_sweep(
     steps = 1 << len(inact)
 
     kgates = _relabel_active(as_pgates(sweep.gates), n, active, params)
+    import tpu_qsim.kernels.fused_circuit as _fc
+
+    if _fc.DIAG_CTRL == "ext":
+        # plan-local: only the ext-control scalar-select class (417 us/op
+        # at 26q, docs/PERF_NOTES.md §13) is rewritten; in-kernel blends
+        # (136-194 us/op) stay. W factors land unmerged inside the kernel.
+        kgates = _fc.diagonalize_controlled(kgates, only_ext_base=_EXT_BASE)
     # The "grid" profile's measured costs bar top-row windows (relayout
     # makes them ~2000-2800us each) and form lane windows eagerly (~25-35us
     # total — they pipeline at MXU rate under the block streams). The
@@ -602,6 +611,7 @@ class GridSweepProgram:
             plan = plan_grid_sweeps(circuit, n, params, max_gates)
         self.num_sweeps = len(plan)
         self.active_sets = [sorted(s.active) for s in plan]
+        self.sweep_gates = [list(s.gates) for s in plan]
         self._fns = [
             _build_grid_sweep(s, n, interpret, params) for s in plan
         ]
@@ -695,14 +705,17 @@ def build_grid_sweep_run(
         for p, cap, req, part, bal in geometry_candidates(n):
             try:
                 if merged is None:
-                    from .fused_circuit import merge_1q_chains
+                    import tpu_qsim.kernels.fused_circuit as _fc
 
                     raw = (
                         circuit.gates
                         if isinstance(circuit, Circuit)
                         else list(circuit)
                     )
-                    merged = merge_1q_chains(as_pgates(raw))
+                    merged = as_pgates(raw)
+                    if _fc.DIAG_CTRL in (True, "all"):
+                        merged = _fc.diagonalize_controlled(merged)
+                    merged = _fc.merge_1q_chains(merged)
                 plan = plan_grid_sweeps(
                     merged, n, p, cap, part, bal, premerged=True
                 )
