@@ -109,3 +109,51 @@ class TestQAOA:
     def test_mismatched_layers(self):
         with pytest.raises(ValueError):
             qaoa_maxcut_circuit(self.EDGES, 4, [0.1, 0.2], [0.1])
+
+
+class TestPhaseEstimation:
+    @pytest.mark.parametrize("phase,m", [(0.375, 3), (0.5, 3), (0.3125, 4),
+                                         (0.8125, 4), (0.0, 3)])
+    def test_dyadic_phase_exact(self, phase, m):
+        from tpu_qsim.algorithms import estimate_phase, phase_estimation_circuit
+
+        sim = StateVectorSimulator(m + 1, CFG)
+        sim.run(phase_estimation_circuit(phase, m))
+        probs = sim.get_probabilities()
+        assert estimate_phase(probs, m) == phase
+        # dyadic phases concentrate ALL probability on one register value
+        k = int(round(phase * (1 << m)))
+        assert probs[(k << 1)] + probs[(k << 1) | 1] > 1.0 - 1e-9
+
+    def test_non_dyadic_phase_nearest(self):
+        from tpu_qsim.algorithms import estimate_phase, phase_estimation_circuit
+
+        m = 5
+        sim = StateVectorSimulator(m + 1, CFG)
+        sim.run(phase_estimation_circuit(0.3, m))
+        probs = sim.get_probabilities()
+        est = estimate_phase(probs, m)
+        # within one grid cell of the true phase, peak >= 4/pi^2
+        assert abs(est - 0.3) <= 1.0 / (1 << m)
+        k = int(round(est * (1 << m)))
+        assert probs[(k << 1)] + probs[(k << 1) | 1] >= 4.0 / np.pi**2 - 1e-6
+
+    def test_jitted_engine_matches_oracle(self):
+        # run the same circuit through the default (jitted f32) engine
+        from tpu_qsim import CPUReferenceSimulator
+        from tpu_qsim.algorithms import phase_estimation_circuit
+
+        c = phase_estimation_circuit(0.6875, 4)
+        sim = StateVectorSimulator(c.num_qubits)
+        sim.run(c)
+        ora = CPUReferenceSimulator(c.num_qubits)
+        ora.run(c)
+        assert np.abs(
+            sim.get_probabilities() - np.abs(ora.state) ** 2
+        ).max() < 1e-6
+
+    def test_invalid_args(self):
+        from tpu_qsim.algorithms import phase_estimation_circuit
+
+        with pytest.raises(ValueError):
+            phase_estimation_circuit(0.5, 0)

@@ -165,3 +165,53 @@ def maxcut_expectation(sim, edges: Sequence[tuple[int, int]]) -> float:
         zz[n - 1 - b] = "Z"
         total += 0.5 * (1.0 - sim.expectation_pauli("".join(zz)))
     return total
+
+
+def phase_estimation_circuit(phase: float, num_ancilla: int) -> Circuit:
+    """Textbook quantum phase estimation of U = P(2*pi*phase).
+
+    Layout: qubit 0 is the eigenstate target (prepared |1>, the
+    eigenvector of a phase gate with eigenvalue e^{2*pi*i*phase});
+    qubits 1..num_ancilla form the readout register, ancilla j (qubit
+    1+j) accumulating phase 2^j via controlled-P, followed by the
+    inverse QFT on the register. Measuring the register yields
+    k ~ round(phase * 2^m) with probability 1 when phase is dyadic and
+    >= 4/pi^2 at the nearest k otherwise; decode with
+    ``k / 2**num_ancilla`` where k is the register value read LSB-first
+    from qubit 1 (``estimate_phase`` does both steps).
+
+    Beyond the reference's factory set: exercises the cp ladder and a
+    mapped inverse QFT (Circuit.inverse of the factory QFT) in one
+    end-to-end algorithm with an exactly checkable output distribution.
+    """
+    from .circuit import Gate, qft_circuit
+
+    if num_ancilla < 1:
+        raise ValueError("phase estimation needs at least one ancilla")
+    m = num_ancilla
+    c = Circuit(m + 1)
+    c.x(0)                          # |1> eigenstate of the phase gate
+    for j in range(m):
+        c.h(1 + j)
+    for j in range(m):
+        # controlled-U^(2^j): one cp with the composed angle
+        c.cp(1 + j, 0, (2.0 * math.pi * phase) * (1 << j))
+    # inverse QFT on the readout register: invert the factory QFT and
+    # shift its qubit ids onto ancillas 1..m (ancilla j = bit j)
+    for g in qft_circuit(m).inverse().gates:
+        c.append(Gate(g.name, tuple(q + 1 for q in g.qubits), g.param))
+    return c
+
+
+def estimate_phase(probabilities, num_ancilla: int) -> float:
+    """Decode a phase-estimation run: argmax over the readout register's
+    marginal distribution -> k / 2^m. ``probabilities`` is the full
+    (2^(m+1),) distribution from ``get_probabilities`` (target qubit 0
+    is traced out by summing its two values per register assignment)."""
+    m = num_ancilla
+    best_k, best_p = 0, -1.0
+    for k in range(1 << m):
+        p = float(probabilities[(k << 1)] + probabilities[(k << 1) | 1])
+        if p > best_p:
+            best_k, best_p = k, p
+    return best_k / float(1 << m)
