@@ -157,3 +157,63 @@ class TestPhaseEstimation:
 
         with pytest.raises(ValueError):
             phase_estimation_circuit(0.5, 0)
+
+
+class TestAmplitudeEstimation:
+    @pytest.mark.parametrize(
+        "n,marked,m,expected",
+        [
+            (2, [0, 3], 3, 0.5),   # theta = pi/4: dyadic, exact
+            (2, [], 3, 0.0),       # empty marked set
+            (2, [0, 1, 2, 3], 3, 1.0),
+        ],
+    )
+    def test_dyadic_amplitudes_exact(self, n, marked, m, expected):
+        from tpu_qsim.algorithms import (
+            amplitude_estimation_circuit,
+            estimate_amplitude,
+        )
+
+        sim = StateVectorSimulator(n + m, CFG)
+        sim.run(amplitude_estimation_circuit(n, marked, m))
+        est = estimate_amplitude(sim.get_probabilities(), n, m)
+        assert abs(est - expected) < 1e-9
+
+    @pytest.mark.parametrize("n,marked,m", [(2, [1], 5), (3, [5], 5)])
+    def test_non_dyadic_within_grid_error(self, n, marked, m):
+        from tpu_qsim.algorithms import (
+            amplitude_estimation_circuit,
+            estimate_amplitude,
+        )
+
+        sim = StateVectorSimulator(n + m, CFG)
+        sim.run(amplitude_estimation_circuit(n, marked, m))
+        est = estimate_amplitude(sim.get_probabilities(), n, m)
+        a = len(marked) / (1 << n)
+        # standard QAE bound: |est - a| <= 2 pi sqrt(a(1-a))/2^m + pi^2/4^m
+        bound = (
+            2 * np.pi * np.sqrt(a * (1 - a)) / (1 << m)
+            + np.pi**2 / (1 << m) ** 2
+        )
+        assert abs(est - a) <= bound
+
+    def test_jitted_engine_matches_oracle(self):
+        from tpu_qsim import CPUReferenceSimulator
+        from tpu_qsim.algorithms import amplitude_estimation_circuit
+
+        c = amplitude_estimation_circuit(2, [2], 4)
+        sim = StateVectorSimulator(c.num_qubits)
+        sim.run(c)
+        ora = CPUReferenceSimulator(c.num_qubits)
+        ora.run(c)
+        assert np.abs(
+            sim.get_probabilities() - np.abs(ora.state) ** 2
+        ).max() < 1e-6
+
+    def test_invalid_args(self):
+        from tpu_qsim.algorithms import amplitude_estimation_circuit
+
+        with pytest.raises(ValueError):
+            amplitude_estimation_circuit(0, [], 3)
+        with pytest.raises(ValueError):
+            amplitude_estimation_circuit(2, [4], 3)

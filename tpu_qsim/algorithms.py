@@ -203,6 +203,94 @@ def phase_estimation_circuit(phase: float, num_ancilla: int) -> Circuit:
     return c
 
 
+def amplitude_estimation_circuit(
+    num_state_qubits: int,
+    marked: Sequence[int],
+    num_ancilla: int,
+) -> Circuit:
+    """Canonical quantum amplitude estimation (quantum counting).
+
+    Estimates a = |marked| / 2^n, the probability that a uniform
+    superposition over ``num_state_qubits`` lands in ``marked``: QPE on
+    the iterate Q = A·S0·A†·S_good (A = H^n) — this is −G for the
+    Grover product G, so its eigenphases sit at 1/2 ± θ/π with
+    a = sin²θ (see :func:`estimate_amplitude` for the resulting cos²
+    decode). Layout: state qubits 0..n-1, readout ancillas n..n+m-1
+    (ancilla j applies Q^(2^j)).
+
+    Controlled-Q needs control only on the two reflections —
+    c-(A·S0·A†·Sg) = A·(c-S0)·A†·(c-Sg) since A cancels when the
+    reflections are identity — and both reflections are (X-conjugated)
+    MCZs, so every controlled power is ancilla-free in this gate set
+    (Circuit.mcz). Decode with :func:`estimate_amplitude`.
+    """
+    n, m = num_state_qubits, num_ancilla
+    if n < 1 or m < 1:
+        raise ValueError("need at least one state qubit and one ancilla")
+    marked = sorted(set(marked))
+    if marked and not (0 <= marked[0] and marked[-1] < (1 << n)):
+        raise ValueError("marked state out of range")
+
+    from .circuit import Gate, qft_circuit
+
+    c = Circuit(n + m)
+    state = list(range(n))
+    for q in state:
+        c.h(q)
+    for j in range(m):
+        c.h(n + j)
+
+    def flip_state(ctrl: int, basis: int) -> None:
+        # phase-flip |basis> on the state register, controlled on ctrl:
+        # X-conjugate an (n+1)-qubit MCZ so the all-ones pattern matches
+        for q in state:
+            if not ((basis >> q) & 1):
+                c.x(q)
+        c.mcz(ctrl, *state)
+        for q in state:
+            if not ((basis >> q) & 1):
+                c.x(q)
+
+    for j in range(m):
+        anc = n + j
+        for _ in range(1 << j):       # Q^(2^j) controlled on ancilla j
+            for b in marked:          # c-S_good: flip each marked state
+                flip_state(anc, b)
+            for q in state:           # A† = H^n
+                c.h(q)
+            flip_state(anc, 0)        # c-S0 (global-phase-free reflection)
+            for q in state:           # A
+                c.h(q)
+    for g in qft_circuit(m).inverse().gates:
+        c.append(Gate(g.name, tuple(q + n for q in g.qubits), g.param))
+    return c
+
+
+def estimate_amplitude(
+    probabilities, num_state_qubits: int, num_ancilla: int
+) -> float:
+    """Decode an amplitude-estimation run: argmax over the readout
+    register's marginal -> a = cos²(π k / 2^m).
+
+    cos², not the textbook sin²: the circuit's iterate A·S0·A†·S_good
+    is −G (G = the Grover diffusion–oracle product), and the global −1
+    becomes a *relative* phase under control, shifting every eigenphase
+    by 1/2 — θ = π·(k/2^m − 1/2) up to conjugation, so
+    sin²θ = cos²(πk/2^m). The conjugate peak 2^m−k decodes to the same
+    value, so either maximizer works (verified numerically at a = 0,
+    1/8, 1/4, 1/2, 1)."""
+    n, m = num_state_qubits, num_ancilla
+    best_k, best_p = 0, -1.0
+    for k in range(1 << m):
+        p = 0.0
+        base = k << n
+        for s in range(1 << n):
+            p += float(probabilities[base | s])
+        if p > best_p:
+            best_k, best_p = k, p
+    return math.cos(math.pi * best_k / (1 << m)) ** 2
+
+
 def estimate_phase(probabilities, num_ancilla: int) -> float:
     """Decode a phase-estimation run: argmax over the readout register's
     marginal distribution -> k / 2^m. ``probabilities`` is the full
