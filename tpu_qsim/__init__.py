@@ -72,4 +72,17 @@ def __getattr__(name: str):
         from . import parallel
 
         return getattr(parallel, name)
+    if name in (
+        "grover_circuit",
+        "qaoa_maxcut_circuit",
+        "qaoa_maxcut_objective",
+        "maxcut_expectation",
+        "phase_estimation_circuit",
+        "estimate_phase",
+        "amplitude_estimation_circuit",
+        "estimate_amplitude",
+    ):
+        from . import algorithms
+
+        return getattr(algorithms, name)
     raise AttributeError(f"module 'tpu_qsim' has no attribute '{name}'")
