@@ -217,3 +217,6 @@ class TestAmplitudeEstimation:
             amplitude_estimation_circuit(0, [], 3)
         with pytest.raises(ValueError):
             amplitude_estimation_circuit(2, [4], 3)
+        with pytest.raises(ValueError, match="MCZ"):
+            # reflections need an (n+1)-qubit MCZ: n caps at MAX_MCZ - 1
+            amplitude_estimation_circuit(10, [0], 3)

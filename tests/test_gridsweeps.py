@@ -329,8 +329,8 @@ class TestCorrectness:
         # blend may remain in the planned programs.
         from tpu_qsim.kernels import fused_circuit as fc
         from tpu_qsim.kernels.fused_circuit import (
-            _controlled_split,
             _is_diagonal,
+            _split_controlled_1q,
         )
 
         saved = fc.DIAG_CTRL
@@ -344,9 +344,11 @@ class TestCorrectness:
                 assert np.abs(ours - oracle_state(c)).max() < 5e-6
                 for sw_gates in prog.sweep_gates:
                     for g in sw_gates:
+                        # only controlled gates with a >= 2-qubit dense
+                        # core (e.g. fredkin) may survive; any controlled
+                        # dense-1q (incl. toffoli) must have rewritten
                         assert _is_diagonal(g.u) or (
-                            _controlled_split(g.u) is None
-                            or len(g.qubits) > 2
+                            _split_controlled_1q(g) is None
                         ), "controlled-1q blend survived the rewrite"
             c = Circuit(12)
             c.h(0).x(11).cnot(0, 11).cnot(10, 2).cz(3, 11)

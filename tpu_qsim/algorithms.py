@@ -224,9 +224,16 @@ def amplitude_estimation_circuit(
     MCZs, so every controlled power is ancilla-free in this gate set
     (Circuit.mcz). Decode with :func:`estimate_amplitude`.
     """
+    from .gates import MAX_MCZ_QUBITS
+
     n, m = num_state_qubits, num_ancilla
     if n < 1 or m < 1:
         raise ValueError("need at least one state qubit and one ancilla")
+    if n + 1 > MAX_MCZ_QUBITS:
+        raise ValueError(
+            "amplitude estimation reflections need an (n+1)-qubit MCZ: "
+            f"num_state_qubits <= {MAX_MCZ_QUBITS - 1}, got {n}"
+        )
     marked = sorted(set(marked))
     if marked and not (0 <= marked[0] and marked[-1] < (1 << n)):
         raise ValueError("marked state out of range")
@@ -279,15 +286,11 @@ def estimate_amplitude(
     sin²θ = cos²(πk/2^m). The conjugate peak 2^m−k decodes to the same
     value, so either maximizer works (verified numerically at a = 0,
     1/8, 1/4, 1/2, 1)."""
+    import numpy as np
+
     n, m = num_state_qubits, num_ancilla
-    best_k, best_p = 0, -1.0
-    for k in range(1 << m):
-        p = 0.0
-        base = k << n
-        for s in range(1 << n):
-            p += float(probabilities[base | s])
-        if p > best_p:
-            best_k, best_p = k, p
+    marg = np.asarray(probabilities).reshape(1 << m, 1 << n).sum(axis=1)
+    best_k = int(marg.argmax())
     return math.cos(math.pi * best_k / (1 << m)) ** 2
 
 
@@ -296,10 +299,8 @@ def estimate_phase(probabilities, num_ancilla: int) -> float:
     marginal distribution -> k / 2^m. ``probabilities`` is the full
     (2^(m+1),) distribution from ``get_probabilities`` (target qubit 0
     is traced out by summing its two values per register assignment)."""
+    import numpy as np
+
     m = num_ancilla
-    best_k, best_p = 0, -1.0
-    for k in range(1 << m):
-        p = float(probabilities[(k << 1)] + probabilities[(k << 1) | 1])
-        if p > best_p:
-            best_k, best_p = k, p
-    return best_k / float(1 << m)
+    marg = np.asarray(probabilities).reshape(1 << m, 2).sum(axis=1)
+    return int(marg.argmax()) / float(1 << m)

@@ -720,17 +720,27 @@ def diagonalize_controlled(
             out.append(pg)
             continue
         ctrls, _, t = r
-        w, lam = e
-        k = len(ctrls) + 1
-        dvec = np.ones(1 << k, dtype=np.complex128)
-        dvec[-2] = lam[0]
-        dvec[-1] = lam[1]
-        wd = np.ascontiguousarray(w.conj().T)
-        d = np.diag(dvec)
-        out.append(PGate(wd, (t,), matrix_classes(wd, (t,))))
-        out.append(PGate(d, ctrls + (t,), matrix_classes(d, ctrls + (t,))))
-        out.append(PGate(w, (t,), matrix_classes(w, (t,))))
+        out.extend(_diag_triple(ctrls, t, *e))
     return out
+
+
+def _diag_triple(ctrls, t: int, w, lam) -> list[PGate]:
+    """The (I⊗W)·C-diag(λ)·(I⊗W†) replacement triple for C-(WΛW†), in
+    application order (W† first). Shared by :func:`diagonalize_controlled`
+    and :func:`_rewrite_windowable` so the controlled-diag layout
+    (λ in the last two diagonal slots) has one source of truth."""
+    k = len(ctrls) + 1
+    dvec = np.ones(1 << k, dtype=np.complex128)
+    dvec[-2] = lam[0]
+    dvec[-1] = lam[1]
+    wd = np.ascontiguousarray(w.conj().T)
+    d = np.diag(dvec)
+    qs = tuple(ctrls) + (t,)
+    return [
+        PGate(wd, (t,), matrix_classes(wd, (t,))),
+        PGate(d, qs, matrix_classes(d, qs)),
+        PGate(w, (t,), matrix_classes(w, (t,))),
+    ]
 
 
 def _cost_tables(profile: str):
@@ -970,8 +980,6 @@ def _rewrite_windowable(
     Gated by a member pre-count per window class so the W factors don't land
     as extra singles when no window would form anyway.
     """
-    from ..commute import DIAG, OTHER
-
     wc_table, sc = _cost_tables(profile)
     w1 = {"lane": sc["lane1"], "rowb": sc["row1"], "rowt": sc["row1"]}
     costs: dict[str, float] = {}
@@ -1009,13 +1017,7 @@ def _rewrite_windowable(
             out.append(pg)
             continue
         ctrls, t, _, (w, lam) = c
-        k = len(ctrls) + 1
-        diagvec = np.ones(1 << k, dtype=np.complex128)
-        diagvec[-2] = lam[0]
-        diagvec[-1] = lam[1]
-        out.append(PGate(w.conj().T, (t,), (OTHER,)))
-        out.append(PGate(np.diag(diagvec), ctrls + (t,), (DIAG,) * k))
-        out.append(PGate(w, (t,), (OTHER,)))
+        out.extend(_diag_triple(ctrls, t, w, lam))
     return out
 
 

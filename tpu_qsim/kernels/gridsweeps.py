@@ -611,6 +611,8 @@ class GridSweepProgram:
             plan = plan_grid_sweeps(circuit, n, params, max_gates)
         self.num_sweeps = len(plan)
         self.active_sets = [sorted(s.active) for s in plan]
+        # plan introspection (tests, debugging): the PGates are host-side
+        # 4x4/8x8 complex128 — KBs per program, no device memory
         self.sweep_gates = [list(s.gates) for s in plan]
         self._fns = [
             _build_grid_sweep(s, n, interpret, params) for s in plan
@@ -714,6 +716,10 @@ def build_grid_sweep_run(
                     )
                     merged = as_pgates(raw)
                     if _fc.DIAG_CTRL in (True, "all"):
+                        # NOTE: runs before plan_grid_sweeps' wide-swap ->
+                        # 3-cnot decomposition, so those synthetic cnots
+                        # would emit as (correct) blends. Reachable only at
+                        # a_max == 1; every production geometry uses >= 4.
                         merged = _fc.diagonalize_controlled(merged)
                     merged = _fc.merge_1q_chains(merged)
                 plan = plan_grid_sweeps(
