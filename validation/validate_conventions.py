@@ -75,6 +75,18 @@ def build_cases():
         # -- GHZ -------------------------------------------------------------
         ("GHZ-3", q.ghz_circuit(3), [s2, 0, 0, 0, 0, 0, 0, s2]),
     ]
+    # -- QPE: endianness-sensitive end-to-end (dyadic phase 1/4 with a
+    # 2-bit register concentrates amplitude EXACTLY 1 at |k=1>|1>, i.e.
+    # little-endian index (1<<1)|1 = 3; any bit-order regression in the
+    # cp ladder or the mapped inverse QFT moves the peak) ---------------
+    from tpu_qsim.algorithms import phase_estimation_circuit
+
+    qpe_expected = [0] * 8
+    qpe_expected[3] = 1
+    cases.append(
+        ("QPE(phase=1/4, m=2) -> |k=1>|1>",
+         phase_estimation_circuit(0.25, 2), qpe_expected)
+    )
     return cases
 
 
