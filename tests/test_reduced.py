@@ -1,0 +1,162 @@
+"""Reduced density matrices, entanglement entropy, and state fidelity on
+the pure-state simulators — observables the reference lacked entirely (its
+only observable was the probability vector).
+
+Convention under test: reduced index bit j = ``qubits[j]`` (the library's
+qubit-q = bit-q rule), checked against an independent NumPy partial trace
+built straight from the definition.
+"""
+
+import numpy as np
+import pytest
+
+import tpu_qsim as q
+from tpu_qsim import SimConfig, StateVectorSimulator
+
+CFG = SimConfig(dtype="complex128", use_pallas=False)
+
+
+def numpy_partial_trace(amps: np.ndarray, qubits, n: int) -> np.ndarray:
+    """Independent oracle: rho[i, j] = sum_rest psi(i,rest) psi*(j,rest)
+    with kept-qubit assignment i spelled bit j = qubits[j]."""
+    k = len(qubits)
+    rho = np.zeros((1 << k, 1 << k), dtype=complex)
+    rest_qubits = [b for b in range(n) if b not in qubits]
+    for i in range(1 << k):
+        for j in range(1 << k):
+            acc = 0.0 + 0.0j
+            for r in range(1 << len(rest_qubits)):
+                ia = ja = 0
+                for t, qq in enumerate(qubits):
+                    ia |= ((i >> t) & 1) << qq
+                    ja |= ((j >> t) & 1) << qq
+                for t, qq in enumerate(rest_qubits):
+                    bit = (r >> t) & 1
+                    ia |= bit << qq
+                    ja |= bit << qq
+                acc += amps[ia] * np.conj(amps[ja])
+            rho[i, j] = acc
+    return rho
+
+
+class TestReducedDensityMatrix:
+    def test_bell_single_qubit_maximally_mixed(self):
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(q.bell_circuit())
+        for qq in (0, 1):
+            rho = sim.reduced_density_matrix([qq])
+            assert np.abs(rho - np.eye(2) / 2).max() < 1e-12
+
+    def test_bell_full_subset_is_pure(self):
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(q.bell_circuit())
+        rho = sim.reduced_density_matrix([0, 1])
+        s2 = 1 / np.sqrt(2)
+        psi = np.array([s2, 0, 0, s2])
+        assert np.abs(rho - np.outer(psi, psi.conj())).max() < 1e-12
+        assert abs(np.trace(rho @ rho).real - 1.0) < 1e-12
+
+    def test_product_state_pure_marginal(self):
+        sim = StateVectorSimulator(3, CFG)
+        sim.run(q.Circuit(3).h(0).x(2))
+        rho = sim.reduced_density_matrix([0])
+        plus = np.array([1, 1]) / np.sqrt(2)
+        assert np.abs(rho - np.outer(plus, plus)).max() < 1e-12
+
+    @pytest.mark.parametrize("subset", [(0,), (3,), (1, 4), (5, 2), (0, 3, 6)])
+    def test_random_circuit_vs_numpy_trace(self, subset):
+        n = 7
+        c = q.random_circuit(n, 60, seed=17)
+        sim = StateVectorSimulator(n, CFG)
+        sim.run(c)
+        amps = sim.get_state()
+        rho = sim.reduced_density_matrix(list(subset))
+        ref = numpy_partial_trace(amps, list(subset), n)
+        assert np.abs(rho - ref).max() < 1e-10
+        # every reduced state: trace 1, Hermitian, PSD
+        assert abs(np.trace(rho).real - 1.0) < 1e-10
+        assert np.abs(rho - rho.conj().T).max() < 1e-12
+        assert np.linalg.eigvalsh(rho).min() > -1e-10
+
+    def test_f32_engine_close_to_oracle(self):
+        n = 10
+        c = q.random_circuit(n, 80, seed=3)
+        sim = StateVectorSimulator(n)          # default complex64 planes
+        sim.run(c)
+        ora = q.CPUReferenceSimulator(n)
+        ora.run(c)
+        rho = sim.reduced_density_matrix([2, 7])
+        ref = numpy_partial_trace(ora.state, [2, 7], n)
+        assert np.abs(rho - ref).max() < 1e-5
+
+    def test_invalid_subsets(self):
+        sim = StateVectorSimulator(3, CFG)
+        with pytest.raises(ValueError):
+            sim.reduced_density_matrix([0, 0])
+        with pytest.raises(ValueError):
+            sim.reduced_density_matrix([3])
+        with pytest.raises(ValueError):
+            sim.reduced_density_matrix([])
+
+
+class TestEntanglementEntropy:
+    def test_bell_is_one_bit(self):
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(q.bell_circuit())
+        assert abs(sim.entanglement_entropy([0]) - 1.0) < 1e-9
+
+    def test_product_state_zero(self):
+        sim = StateVectorSimulator(4, CFG)
+        sim.run(q.Circuit(4).h(0).h(1).x(3))
+        for subset in ([0], [1], [0, 1], [2, 3]):
+            assert sim.entanglement_entropy(subset) < 1e-9
+
+    def test_ghz_bipartitions_one_bit(self):
+        sim = StateVectorSimulator(5, CFG)
+        sim.run(q.ghz_circuit(5))
+        # any bipartition of a GHZ state carries exactly one bit
+        for subset in ([0], [2], [0, 1], [1, 2, 3]):
+            assert abs(sim.entanglement_entropy(subset) - 1.0) < 1e-9
+
+    def test_symmetric_under_complement(self):
+        n = 6
+        sim = StateVectorSimulator(n, CFG)
+        sim.run(q.random_circuit(n, 50, seed=8))
+        a = sim.entanglement_entropy([0, 2])
+        b = sim.entanglement_entropy([1, 3, 4, 5])
+        assert abs(a - b) < 1e-8
+
+
+class TestFidelity:
+    def test_self_fidelity_one(self):
+        sim = StateVectorSimulator(4, CFG)
+        sim.run(q.random_circuit(4, 30, seed=1))
+        assert abs(sim.fidelity_with(sim) - 1.0) < 1e-10
+
+    def test_orthogonal_states(self):
+        a = StateVectorSimulator(2, CFG)
+        b = StateVectorSimulator(2, CFG)
+        b.run(q.Circuit(2).x(0))
+        assert a.fidelity_with(b) < 1e-12
+
+    def test_plus_vs_zero_is_half(self):
+        a = StateVectorSimulator(1, CFG)
+        b = StateVectorSimulator(1, CFG)
+        b.run(q.Circuit(1).h(0))
+        assert abs(a.fidelity_with(b) - 0.5) < 1e-12
+
+    def test_matches_numpy_overlap(self):
+        c1 = q.random_circuit(6, 40, seed=5)
+        c2 = q.random_circuit(6, 40, seed=6)
+        a = StateVectorSimulator(6, CFG)
+        a.run(c1)
+        b = StateVectorSimulator(6, CFG)
+        b.run(c2)
+        ref = abs(np.vdot(a.get_state(), b.get_state())) ** 2
+        assert abs(a.fidelity_with(b) - ref) < 1e-10
+
+    def test_shape_mismatch_raises(self):
+        a = StateVectorSimulator(3, CFG)
+        b = StateVectorSimulator(4, CFG)
+        with pytest.raises(ValueError):
+            a.fidelity_with(b)
