@@ -160,3 +160,72 @@ class TestFidelity:
         b = StateVectorSimulator(4, CFG)
         with pytest.raises(ValueError):
             a.fidelity_with(b)
+
+
+class TestDensityMatrixReduced:
+    def test_pure_bell_rho_marginal(self):
+        from tpu_qsim import DensityMatrixSimulator
+
+        dm = DensityMatrixSimulator(2, config=CFG)
+        dm.run(q.bell_circuit())
+        rho = dm.reduced_density_matrix([0])
+        assert np.abs(rho - np.eye(2) / 2).max() < 1e-10
+        # entropy inherits through the override
+        assert abs(dm.entanglement_entropy([0]) - 1.0) < 1e-8
+
+    def test_vs_numpy_partial_trace_of_get_matrix(self):
+        from tpu_qsim import DensityMatrixSimulator, NoiseModel, NoiseType
+
+        nm = NoiseModel()
+        nm.add(NoiseType.DEPOLARIZING, 0.05)
+        dm = DensityMatrixSimulator(4, nm, CFG)
+        dm.run(q.random_circuit(4, 25, seed=13))
+        full = dm.get_matrix()
+        for subset in ([1], [0, 2], [3, 1]):
+            got = dm.reduced_density_matrix(subset)
+            v = full.reshape((2,) * 8)
+            n = 4
+            k = len(subset)
+            rest = [b for b in range(n) if b not in subset]
+            perm = (
+                [2 * n - 1 - (qq + n) for qq in reversed(subset)]
+                + [2 * n - 1 - qq for qq in reversed(subset)]
+                + [2 * n - 1 - (b + n) for b in rest]
+                + [2 * n - 1 - b for b in rest]
+            )
+            w = v.transpose(perm).reshape(
+                1 << k, 1 << k, 1 << len(rest), 1 << len(rest)
+            )
+            ref = np.trace(w, axis1=2, axis2=3)
+            assert np.abs(got - ref).max() < 1e-10
+            assert abs(np.trace(got).real - 1.0) < 1e-8
+
+    def test_fidelity_dm_vs_pure(self):
+        from tpu_qsim import DensityMatrixSimulator
+
+        dm = DensityMatrixSimulator(2, config=CFG)
+        dm.run(q.bell_circuit())
+        sv = StateVectorSimulator(2, CFG)
+        sv.run(q.bell_circuit())
+        assert abs(dm.fidelity_with(sv) - 1.0) < 1e-10
+        orth = StateVectorSimulator(2, CFG)
+        orth.run(q.Circuit(2).x(0))
+        assert dm.fidelity_with(orth) < 1e-10
+
+    def test_fidelity_mixed_mixed_uhlmann(self):
+        from tpu_qsim import DensityMatrixSimulator
+
+        a = DensityMatrixSimulator(2, config=CFG)
+        a.run(q.bell_circuit())
+        b = DensityMatrixSimulator(2, config=CFG)
+        b.set_maximally_mixed()
+        # F(pure bell, I/4) = <phi| I/4 |phi> = 1/4
+        assert abs(a.fidelity_with(b) - 0.25) < 1e-8
+        assert abs(b.fidelity_with(b) - 1.0) < 1e-8
+
+    def test_fidelity_shape_mismatch(self):
+        from tpu_qsim import DensityMatrixSimulator
+
+        dm = DensityMatrixSimulator(3, config=CFG)
+        with pytest.raises(ValueError):
+            dm.fidelity_with(StateVectorSimulator(4, CFG))

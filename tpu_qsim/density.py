@@ -305,6 +305,58 @@ class DensityMatrixSimulator(BaseSimulator):
         outcome, self._state = fn(self._state, key, qubit, self.num_qubits)
         return int(outcome)
 
+    def reduced_density_matrix(self, qubits) -> np.ndarray:
+        """Partial trace of rho onto ``qubits`` (2^k x 2^k, index bit j =
+        qubits[j]): sum over equal traced row/col assignments, computed
+        on device (only the reduced matrix is read back). The
+        mixed-state override of the pure-state version in BaseSimulator
+        (the 2n-bit rho layout needs a genuine trace, not M M-dagger)."""
+        qs = tuple(int(q) for q in qubits)
+        for q in qs:
+            self._check_qubit(q)
+        if len(set(qs)) != len(qs):
+            raise ValueError("duplicate qubits in partial-trace subset")
+        if not (1 <= len(qs) <= 12):
+            raise ValueError(
+                "reduced density matrix supports 1..12 qubits "
+                f"(2^k x 2^k output), got {len(qs)}"
+            )
+        rr, ri = _dm_reduced_jit(self._state, qs, self.num_qubits)
+        return np.asarray(rr).astype(np.float64) + 1j * np.asarray(
+            ri
+        ).astype(np.float64)
+
+    def fidelity_with(self, other) -> float:
+        """Fidelity of rho against ``other``.
+
+        * pure-state simulator (``(2, 2^n)`` planes): F = <psi|rho|psi>,
+          computed on device;
+        * another DensityMatrixSimulator: Uhlmann fidelity
+          (tr sqrt(sqrt(rho) sigma sqrt(rho)))^2 via host
+          eigendecompositions — O(8^n), supported to 10 qubits.
+        """
+        planes = getattr(other, "state_planes", other)
+        if tuple(planes.shape) == (2, self.dim):
+            return float(_dm_pure_fidelity_jit(self._state, planes, self.dim))
+        if tuple(planes.shape) == (2, self.dim * self.dim):
+            if self.num_qubits > 10:
+                raise ValueError(
+                    "mixed-mixed Uhlmann fidelity is host-side "
+                    "eigendecomposition work; supported to 10 qubits"
+                )
+            rho = self.get_matrix().astype(np.complex128)
+            sig = (
+                np.asarray(planes[0]) + 1j * np.asarray(planes[1])
+            ).astype(np.complex128).reshape(self.dim, self.dim)
+            lam, u = np.linalg.eigh(rho)
+            sq = (u * np.sqrt(np.clip(lam, 0.0, None))) @ u.conj().T
+            ev = np.linalg.eigvalsh(sq @ sig @ sq)
+            return float(np.sqrt(np.clip(ev, 0.0, None)).sum() ** 2)
+        raise ValueError(
+            f"state shape mismatch: {tuple(planes.shape)} is neither a "
+            f"(2, {self.dim}) pure state nor a (2, {self.dim**2}) rho"
+        )
+
 
 # ---------------------------------------------------------------------------
 # jitted helpers
@@ -322,6 +374,52 @@ def _dm_diag_jit(rho: jax.Array, dim: int) -> jax.Array:
 @jax.jit
 def _purity_jit(rho: jax.Array) -> jax.Array:
     return jnp.sum(rho * rho)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _dm_reduced_jit(rho: jax.Array, qs: tuple, n: int):
+    """Partial trace on the 2n-bit planes: row qubit q = bit q+n, column
+    qubit q = bit q (density.py header). Kept row/col axes fronted
+    (reduced bit j = qs[j]), traced row/col axes paired and traced."""
+    k = len(qs)
+    rest = [b for b in range(n) if b not in qs]
+    t = len(rest)
+
+    def axes_of(bits):
+        return [2 * n - 1 - b for b in bits]
+
+    perm = (
+        axes_of([q + n for q in reversed(qs)])
+        + axes_of(list(reversed(qs)))
+        + axes_of([b + n for b in rest])
+        + axes_of(rest)
+    )
+
+    def f(plane):
+        v = (
+            plane.reshape((2,) * (2 * n))
+            .transpose(perm)
+            .reshape(1 << k, 1 << k, 1 << t, 1 << t)
+        )
+        return jnp.trace(v, axis1=2, axis2=3)
+
+    return f(rho[0]), f(rho[1])
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _dm_pure_fidelity_jit(rho: jax.Array, psi: jax.Array, dim: int):
+    """<psi|rho|psi> = Re(psi^dag (M psi)) — real for Hermitian rho."""
+    mr = rho[0].reshape(dim, dim)
+    mi = rho[1].reshape(dim, dim)
+    hi = jax.lax.Precision.HIGHEST
+    # y = M psi (complex via real matmuls)
+    yr = jnp.matmul(mr, psi[0], precision=hi) - jnp.matmul(
+        mi, psi[1], precision=hi
+    )
+    yi = jnp.matmul(mr, psi[1], precision=hi) + jnp.matmul(
+        mi, psi[0], precision=hi
+    )
+    return jnp.sum(psi[0] * yr + psi[1] * yi)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
