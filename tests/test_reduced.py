@@ -229,3 +229,40 @@ class TestDensityMatrixReduced:
         dm = DensityMatrixSimulator(3, config=CFG)
         with pytest.raises(ValueError):
             dm.fidelity_with(StateVectorSimulator(4, CFG))
+
+
+class TestBatchedEnsemble:
+    def test_noiseless_batch_matches_pure(self):
+        from tpu_qsim import BatchedSimulator, NoiseModel
+
+        b = BatchedSimulator(3, 8, NoiseModel(), CFG)
+        b.run(q.ghz_circuit(3))
+        sv = StateVectorSimulator(3, CFG)
+        sv.run(q.ghz_circuit(3))
+        rho_b = b.reduced_density_matrix([0, 1])
+        rho_p = sv.reduced_density_matrix([0, 1])
+        assert np.abs(rho_b - rho_p).max() < 1e-10
+        assert abs(b.fidelity_with(sv) - 1.0) < 1e-10
+        assert abs(b.entanglement_entropy([0]) - 1.0) < 1e-8
+
+    def test_noisy_ensemble_approaches_exact_dm(self):
+        from tpu_qsim import (
+            BatchedSimulator,
+            DensityMatrixSimulator,
+            NoiseModel,
+            NoiseType,
+        )
+
+        nm = NoiseModel()
+        nm.add(NoiseType.PHASE_FLIP, 0.15)
+        c = q.Circuit(2).h(0).cnot(0, 1)
+        b = BatchedSimulator(
+            2, 512, nm, CFG, seed=7, insertion="gate_qubits"
+        )
+        b.run(c)
+        dm = DensityMatrixSimulator(2, nm, CFG)
+        dm.run(c)
+        rho_mc = b.reduced_density_matrix([0, 1])
+        rho_ex = dm.reduced_density_matrix([0, 1])
+        # Monte-Carlo estimate: statistical agreement at 512 trajectories
+        assert np.abs(rho_mc - rho_ex).max() < 0.08

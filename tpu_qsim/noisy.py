@@ -339,6 +339,49 @@ class BatchedSimulator(BaseSimulator):
         mask = ((np.arange(self.dim) >> qubit) & 1).astype(bool)
         return float(p[mask].sum())
 
+    def reduced_density_matrix(self, qubits) -> np.ndarray:
+        """ENSEMBLE reduced density matrix: the trajectory average of the
+        per-trajectory partial traces — i.e. the partial trace of
+        rho_ens = mean_t |psi_t><psi_t| (the MCWF estimate of the exact
+        channel rho). Batch-aware override of the pure-state version;
+        ``entanglement_entropy`` inherits through it and therefore
+        reports noise-averaged subsystem entropy."""
+        from .base import _reduced_dm_jit
+
+        qs = tuple(int(q) for q in qubits)
+        for q in qs:
+            self._check_qubit(q)
+        if len(set(qs)) != len(qs):
+            raise ValueError("duplicate qubits in partial-trace subset")
+        if not (1 <= len(qs) <= 12):
+            raise ValueError(
+                "reduced density matrix supports 1..12 qubits "
+                f"(2^k x 2^k output), got {len(qs)}"
+            )
+        rr, ri = jax.vmap(
+            lambda s: _reduced_dm_jit(s, qs, self.num_qubits)
+        )(self._states)
+        rr = jnp.mean(rr, axis=0)
+        ri = jnp.mean(ri, axis=0)
+        return np.asarray(rr).astype(np.float64) + 1j * np.asarray(
+            ri
+        ).astype(np.float64)
+
+    def fidelity_with(self, other) -> float:
+        """Mean trajectory fidelity against a pure state: the average of
+        |<psi_t|phi>|^2 over the batch = <phi| rho_ens |phi>."""
+        from .base import _fidelity_jit
+
+        planes = getattr(other, "state_planes", other)
+        if tuple(planes.shape) != (2, self.dim):
+            raise ValueError(
+                f"state shape mismatch: {tuple(planes.shape)} vs "
+                f"(2, {self.dim})"
+            )
+        return float(
+            jnp.mean(jax.vmap(lambda s: _fidelity_jit(s, planes))(self._states))
+        )
+
     @property
     def total_memory_bytes(self) -> int:
         """Device bytes held by the trajectory batch (analog of reference
