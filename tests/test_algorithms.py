@@ -4,6 +4,7 @@ optimization running through the public simulator surface."""
 import numpy as np
 import pytest
 
+import tpu_qsim as q
 from tpu_qsim import SimConfig, StateVectorSimulator
 from tpu_qsim.algorithms import (
     grover_circuit,
@@ -220,3 +221,109 @@ class TestAmplitudeEstimation:
         with pytest.raises(ValueError, match="MCZ"):
             # reflections need an (n+1)-qubit MCZ: n caps at MAX_MCZ - 1
             amplitude_estimation_circuit(10, [0], 3)
+
+
+class TestTrotter:
+    PAULI = None
+
+    @staticmethod
+    def _ham(terms, n):
+        from tpu_qsim.gates import gate_matrix
+
+        P = {"I": np.eye(2), "X": gate_matrix("x"),
+             "Y": gate_matrix("y"), "Z": gate_matrix("z")}
+        H = np.zeros((1 << n, 1 << n), dtype=complex)
+        for c, s in terms:
+            m = np.eye(1)
+            for ch in s:
+                m = np.kron(m, P[ch])
+            if len(s) < n:
+                m = np.kron(np.eye(1 << (n - len(s))), m)
+            H += c * m
+        return H
+
+    @classmethod
+    def _exact(cls, psi0, terms, n, t):
+        lam, v = np.linalg.eigh(cls._ham(terms, n))
+        return v @ (np.exp(-1j * lam * t) * (v.conj().T @ psi0))
+
+    @pytest.mark.parametrize(
+        "terms", [[(0.7, "X")], [(0.4, "Y")], [(1.1, "Z")],
+                  [(-0.3, "XY")], [(0.5, "ZZX")]]
+    )
+    def test_single_term_exact_at_one_step(self, terms):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        n = max(len(s) for _, s in terms)
+        prep = q.Circuit(n)
+        for i in range(n):
+            prep.h(i)
+        prep.t(0)
+        sim0 = StateVectorSimulator(n, CFG)
+        sim0.run(prep)
+        psi0 = sim0.get_state()
+        full = q.Circuit(n)
+        for g in prep.gates:
+            full.append(g)
+        for g in trotter_circuit(terms, 0.9, 1, num_qubits=n).gates:
+            full.append(g)
+        sim = StateVectorSimulator(n, CFG)
+        sim.run(full)
+        want = self._exact(psi0, terms, n, 0.9)
+        assert np.abs(sim.get_state() - want).max() < 1e-12
+
+    def test_tfim_first_order_convergence(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        n = 4
+        tfim = [(-1.0, "IIZZ"), (-1.0, "IZZI"), (-1.0, "ZZII"),
+                (-0.8, "IIIX"), (-0.8, "IIXI"), (-0.8, "IXII"),
+                (-0.8, "XIII")]
+        psi0 = np.zeros(1 << n, dtype=complex)
+        psi0[0] = 1
+        want = self._exact(psi0, tfim, n, 0.6)
+        errs = []
+        for steps in (4, 16, 64):
+            sim = StateVectorSimulator(n, CFG)
+            sim.run(trotter_circuit(tfim, 0.6, steps, num_qubits=n))
+            errs.append(np.abs(sim.get_state() - want).max())
+        # first-order: error shrinks ~linearly in 1/steps
+        assert errs[0] > 3 * errs[1] > 9 * errs[2] / 3
+        assert errs[2] < 5e-3
+
+    def test_observable_dynamics_analytic(self):
+        # H = X on one qubit: <Z>(t) = cos(2t)
+        from tpu_qsim.algorithms import trotter_circuit
+
+        for t in (0.3, 1.0, 2.2):
+            sim = StateVectorSimulator(1, CFG)
+            sim.run(trotter_circuit([(1.0, "X")], t, 1))
+            assert abs(sim.expectation_pauli("Z") - np.cos(2 * t)) < 1e-10
+
+    def test_commuting_terms_exact(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        terms = [(0.5, "IZ"), (0.25, "ZI"), (-0.7, "ZZ")]
+        prep = q.Circuit(2).h(0).h(1)
+        sim0 = StateVectorSimulator(2, CFG)
+        sim0.run(prep)
+        psi0 = sim0.get_state()
+        full = q.Circuit(2)
+        for g in prep.gates:
+            full.append(g)
+        for g in trotter_circuit(terms, 1.3, 1).gates:
+            full.append(g)
+        sim = StateVectorSimulator(2, CFG)
+        sim.run(full)
+        want = self._exact(psi0, terms, 2, 1.3)
+        assert np.abs(sim.get_state() - want).max() < 1e-12
+
+    def test_invalid_args(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        with pytest.raises(ValueError):
+            trotter_circuit([(1.0, "X")], 1.0, 0)
+        with pytest.raises(ValueError):
+            trotter_circuit([(1.0, "Q")], 1.0, 1)
+        with pytest.raises(ValueError):
+            trotter_circuit([(1.0, "XX")], 1.0, 1, num_qubits=1)

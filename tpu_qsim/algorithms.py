@@ -203,6 +203,74 @@ def phase_estimation_circuit(phase: float, num_ancilla: int) -> Circuit:
     return c
 
 
+def trotter_circuit(
+    terms: Sequence[tuple[float, str]],
+    time: float,
+    steps: int,
+    num_qubits: int | None = None,
+) -> Circuit:
+    """First-order Trotter circuit for H = sum_j c_j P_j.
+
+    ``terms`` are (coefficient, Pauli string) pairs read like kets — the
+    rightmost character acts on qubit 0, matching
+    ``expectation_pauli``/``build_expectation_fn``. The circuit
+    approximates e^{-iHt} as (prod_j e^{-i c_j P_j t/steps})^steps, each
+    exponential the standard basis-change + CNOT parity ladder + Rz:
+    X-axes conjugate by H, Y-axes by S·H (Y = S H Z H S-dagger), the
+    folded parity takes Rz(2 c dt). Identity terms contribute only a
+    global phase and are skipped (amplitude comparisons against exact
+    evolution must mod out e^{-i c_I t}).
+
+    Single-term Hamiltonians (and mutually commuting term sets) are
+    exact at any step count; non-commuting sums carry the usual
+    O(t^2/steps) first-order error. Pair with ``build_expectation_fn``
+    or ``expectation_pauli`` for observable dynamics.
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    parsed = []
+    width = 0
+    for coef, pauli in terms:
+        pauli = pauli.upper()
+        if not set(pauli) <= set("IXYZ"):
+            raise ValueError(f"invalid Pauli string {pauli!r}")
+        involved = tuple(
+            (len(pauli) - 1 - i, p)
+            for i, p in enumerate(pauli)
+            if p != "I"
+        )
+        width = max(width, len(pauli))
+        if involved:
+            parsed.append((float(coef), involved))
+    n = num_qubits if num_qubits is not None else max(width, 1)
+    if width > n:
+        raise ValueError(f"terms span {width} qubits > num_qubits={n}")
+
+    c = Circuit(n)
+    dt = time / steps
+    for _ in range(steps):
+        for coef, involved in parsed:
+            qs = [qq for qq, _ in involved]
+            for qq, p in involved:          # rotate each axis onto Z
+                if p == "X":
+                    c.h(qq)
+                elif p == "Y":
+                    c.sdg(qq)
+                    c.h(qq)
+            for a, b in zip(qs, qs[1:]):    # parity ladder onto the last
+                c.cnot(a, b)
+            c.rz(qs[-1], 2.0 * coef * dt)
+            for a, b in reversed(list(zip(qs, qs[1:]))):
+                c.cnot(a, b)
+            for qq, p in involved:
+                if p == "X":
+                    c.h(qq)
+                elif p == "Y":
+                    c.h(qq)
+                    c.s(qq)
+    return c
+
+
 def amplitude_estimation_circuit(
     num_state_qubits: int,
     marked: Sequence[int],
