@@ -81,6 +81,7 @@ def __getattr__(name: str):
         "estimate_phase",
         "amplitude_estimation_circuit",
         "estimate_amplitude",
+        "trotter_circuit",
     ):
         from . import algorithms
 
