@@ -224,8 +224,6 @@ class TestAmplitudeEstimation:
 
 
 class TestTrotter:
-    PAULI = None
-
     @staticmethod
     def _ham(terms, n):
         from tpu_qsim.gates import gate_matrix
@@ -262,11 +260,9 @@ class TestTrotter:
         sim0 = StateVectorSimulator(n, CFG)
         sim0.run(prep)
         psi0 = sim0.get_state()
-        full = q.Circuit(n)
-        for g in prep.gates:
-            full.append(g)
-        for g in trotter_circuit(terms, 0.9, 1, num_qubits=n).gates:
-            full.append(g)
+        full = q.Circuit(n).extend(prep.gates).extend(
+            trotter_circuit(terms, 0.9, 1, num_qubits=n).gates
+        )
         sim = StateVectorSimulator(n, CFG)
         sim.run(full)
         want = self._exact(psi0, terms, n, 0.9)
@@ -288,7 +284,7 @@ class TestTrotter:
             sim.run(trotter_circuit(tfim, 0.6, steps, num_qubits=n))
             errs.append(np.abs(sim.get_state() - want).max())
         # first-order: error shrinks ~linearly in 1/steps
-        assert errs[0] > 3 * errs[1] > 9 * errs[2] / 3
+        assert errs[0] > 3 * errs[1] and errs[1] > 3 * errs[2]
         assert errs[2] < 5e-3
 
     def test_observable_dynamics_analytic(self):
@@ -308,11 +304,9 @@ class TestTrotter:
         sim0 = StateVectorSimulator(2, CFG)
         sim0.run(prep)
         psi0 = sim0.get_state()
-        full = q.Circuit(2)
-        for g in prep.gates:
-            full.append(g)
-        for g in trotter_circuit(terms, 1.3, 1).gates:
-            full.append(g)
+        full = q.Circuit(2).extend(prep.gates).extend(
+            trotter_circuit(terms, 1.3, 1).gates
+        )
         sim = StateVectorSimulator(2, CFG)
         sim.run(full)
         want = self._exact(psi0, terms, 2, 1.3)

@@ -226,19 +226,14 @@ def trotter_circuit(
     O(t^2/steps) first-order error. Pair with ``build_expectation_fn``
     or ``expectation_pauli`` for observable dynamics.
     """
+    from .statevector import _parse_pauli_term
+
     if steps < 1:
         raise ValueError("steps must be >= 1")
     parsed = []
     width = 0
     for coef, pauli in terms:
-        pauli = pauli.upper()
-        if not set(pauli) <= set("IXYZ"):
-            raise ValueError(f"invalid Pauli string {pauli!r}")
-        involved = tuple(
-            (len(pauli) - 1 - i, p)
-            for i, p in enumerate(pauli)
-            if p != "I"
-        )
+        involved = _parse_pauli_term(pauli, len(pauli))
         width = max(width, len(pauli))
         if involved:
             parsed.append((float(coef), involved))
