@@ -266,3 +266,37 @@ class TestBatchedEnsemble:
         rho_ex = dm.reduced_density_matrix([0, 1])
         # Monte-Carlo estimate: statistical agreement at 512 trajectories
         assert np.abs(rho_mc - rho_ex).max() < 0.08
+
+
+class TestPeerAliasing:
+    def test_pure_vs_half_width_dm_raises(self):
+        # a 1-qubit rho's (2, 4) planes look exactly like a 2-qubit pure
+        # state; the width check must reject it (returned 0.4999 silently
+        # before the fix)
+        from tpu_qsim import DensityMatrixSimulator
+
+        sv = StateVectorSimulator(2, CFG)
+        dm = DensityMatrixSimulator(1, config=CFG)
+        with pytest.raises(ValueError, match="width"):
+            sv.fidelity_with(dm)
+
+    def test_dm_vs_double_width_pure_raises(self):
+        from tpu_qsim import DensityMatrixSimulator
+
+        dm = DensityMatrixSimulator(2, config=CFG)
+        sv = StateVectorSimulator(4, CFG)
+        with pytest.raises(ValueError, match="width"):
+            dm.fidelity_with(sv)
+
+    def test_batched_vs_half_width_dm_raises(self):
+        from tpu_qsim import BatchedSimulator, DensityMatrixSimulator, NoiseModel
+
+        b = BatchedSimulator(2, 4, NoiseModel(), CFG)
+        dm = DensityMatrixSimulator(1, config=CFG)
+        with pytest.raises(ValueError, match="width"):
+            b.fidelity_with(dm)
+
+    def test_raw_planes_still_accepted(self):
+        # raw arrays (no num_qubits attribute) keep the shape-only contract
+        sv = StateVectorSimulator(2, CFG)
+        assert abs(sv.fidelity_with(sv.state_planes) - 1.0) < 1e-12

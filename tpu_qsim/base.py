@@ -187,16 +187,7 @@ class BaseSimulator:
         (2^k, 2^(n-k)) reshaped state); only the 2^k x 2^k result is
         read back. Capability the reference lacked (its only
         observables were probabilities)."""
-        qs = tuple(int(q) for q in qubits)
-        for q in qs:
-            self._check_qubit(q)
-        if len(set(qs)) != len(qs):
-            raise ValueError("duplicate qubits in partial-trace subset")
-        if not (1 <= len(qs) <= 12):
-            raise ValueError(
-                "reduced density matrix supports 1..12 qubits "
-                f"(2^k x 2^k output), got {len(qs)}"
-            )
+        qs = self._validated_subset(qubits)
         rr, ri = _reduced_dm_jit(self._state, qs, self.num_qubits)
         return np.asarray(rr).astype(np.float64) + 1j * np.asarray(
             ri
@@ -216,12 +207,39 @@ class BaseSimulator:
         """|<psi|phi>|^2 against another same-width pure-state simulator
         (or anything exposing (2, 2^n) ``state_planes``). On-device
         inner product; one scalar readback."""
-        planes = getattr(other, "state_planes", other)
-        if tuple(planes.shape) != (2, self.dim):
-            raise ValueError(
-                f"state shape mismatch: {tuple(planes.shape)} vs (2, {self.dim})"
-            )
+        planes = self._peer_planes(other, (2, self.dim))
         return float(_fidelity_jit(self._state, planes))
+
+    def _validated_subset(self, qubits) -> tuple:
+        """Shared partial-trace subset validation (pure / DM / batched)."""
+        qs = tuple(int(q) for q in qubits)
+        for q in qs:
+            self._check_qubit(q)
+        if len(set(qs)) != len(qs):
+            raise ValueError("duplicate qubits in partial-trace subset")
+        if not (1 <= len(qs) <= 12):
+            raise ValueError(
+                "reduced density matrix supports 1..12 qubits "
+                f"(2^k x 2^k output), got {len(qs)}"
+            )
+        return qs
+
+    def _peer_planes(self, other, want_shape: tuple):
+        """Resolve ``other`` to planes of ``want_shape``. Simulator peers
+        are checked by register width FIRST — a raw shape test alone
+        aliases across types (a 1-qubit rho's (2, 4) planes look exactly
+        like a 2-qubit pure state) and would return garbage silently."""
+        nq = getattr(other, "num_qubits", None)
+        if nq is not None and nq != self.num_qubits:
+            raise ValueError(
+                f"register width mismatch: {nq} vs {self.num_qubits} qubits"
+            )
+        planes = getattr(other, "state_planes", other)
+        if tuple(planes.shape) != want_shape:
+            raise ValueError(
+                f"state shape mismatch: {tuple(planes.shape)} vs {want_shape}"
+            )
+        return planes
 
     # -- checkpoint / resume -------------------------------------------------
 
@@ -343,7 +361,6 @@ def _reduced_dm_jit(state: jax.Array, qs: tuple, n: int):
     """rho_A = M M^dagger over split planes: M is the (2^k, 2^(n-k))
     reshape with kept qubits fronted (row bit j = qs[j]; reshape axis a
     of the (2,)*n view is state bit n-1-a)."""
-    import jax.numpy as jnp
 
     k = len(qs)
     front = [n - 1 - q for q in reversed(qs)]
@@ -367,7 +384,6 @@ def _reduced_dm_jit(state: jax.Array, qs: tuple, n: int):
 
 @jax.jit
 def _fidelity_jit(a: jax.Array, b: jax.Array) -> jax.Array:
-    import jax.numpy as jnp
 
     re = jnp.sum(a[0] * b[0] + a[1] * b[1])
     im = jnp.sum(a[0] * b[1] - a[1] * b[0])

@@ -311,16 +311,7 @@ class DensityMatrixSimulator(BaseSimulator):
         on device (only the reduced matrix is read back). The
         mixed-state override of the pure-state version in BaseSimulator
         (the 2n-bit rho layout needs a genuine trace, not M M-dagger)."""
-        qs = tuple(int(q) for q in qubits)
-        for q in qs:
-            self._check_qubit(q)
-        if len(set(qs)) != len(qs):
-            raise ValueError("duplicate qubits in partial-trace subset")
-        if not (1 <= len(qs) <= 12):
-            raise ValueError(
-                "reduced density matrix supports 1..12 qubits "
-                f"(2^k x 2^k output), got {len(qs)}"
-            )
+        qs = self._validated_subset(qubits)
         rr, ri = _dm_reduced_jit(self._state, qs, self.num_qubits)
         return np.asarray(rr).astype(np.float64) + 1j * np.asarray(
             ri
@@ -335,6 +326,13 @@ class DensityMatrixSimulator(BaseSimulator):
           (tr sqrt(sqrt(rho) sigma sqrt(rho)))^2 via host
           eigendecompositions — O(8^n), supported to 10 qubits.
         """
+        nq = getattr(other, "num_qubits", None)
+        if nq is not None and nq != self.num_qubits:
+            # width FIRST: raw shape tests alias across types (a 2n-qubit
+            # pure state's planes look exactly like this rho)
+            raise ValueError(
+                f"register width mismatch: {nq} vs {self.num_qubits} qubits"
+            )
         planes = getattr(other, "state_planes", other)
         if tuple(planes.shape) == (2, self.dim):
             return float(_dm_pure_fidelity_jit(self._state, planes, self.dim))

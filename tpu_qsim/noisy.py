@@ -346,23 +346,8 @@ class BatchedSimulator(BaseSimulator):
         channel rho). Batch-aware override of the pure-state version;
         ``entanglement_entropy`` inherits through it and therefore
         reports noise-averaged subsystem entropy."""
-        from .base import _reduced_dm_jit
-
-        qs = tuple(int(q) for q in qubits)
-        for q in qs:
-            self._check_qubit(q)
-        if len(set(qs)) != len(qs):
-            raise ValueError("duplicate qubits in partial-trace subset")
-        if not (1 <= len(qs) <= 12):
-            raise ValueError(
-                "reduced density matrix supports 1..12 qubits "
-                f"(2^k x 2^k output), got {len(qs)}"
-            )
-        rr, ri = jax.vmap(
-            lambda s: _reduced_dm_jit(s, qs, self.num_qubits)
-        )(self._states)
-        rr = jnp.mean(rr, axis=0)
-        ri = jnp.mean(ri, axis=0)
+        qs = self._validated_subset(qubits)
+        rr, ri = _batch_reduced_dm_jit(self._states, qs, self.num_qubits)
         return np.asarray(rr).astype(np.float64) + 1j * np.asarray(
             ri
         ).astype(np.float64)
@@ -372,12 +357,7 @@ class BatchedSimulator(BaseSimulator):
         |<psi_t|phi>|^2 over the batch = <phi| rho_ens |phi>."""
         from .base import _fidelity_jit
 
-        planes = getattr(other, "state_planes", other)
-        if tuple(planes.shape) != (2, self.dim):
-            raise ValueError(
-                f"state shape mismatch: {tuple(planes.shape)} vs "
-                f"(2, {self.dim})"
-            )
+        planes = self._peer_planes(other, (2, self.dim))
         return float(
             jnp.mean(jax.vmap(lambda s: _fidelity_jit(s, planes))(self._states))
         )
@@ -462,6 +442,35 @@ def _batch_measure_jit(
     return jax.vmap(lambda s, k: _measure_and_collapse(s, k, qubit))(
         states, keys
     )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _batch_reduced_dm_jit(states: jax.Array, qs: tuple, n: int):
+    """Ensemble reduced rho = (1/B) sum_t M_t M_t^dagger, computed as ONE
+    matmul pair by folding the batch axis into the traced columns
+    (M = (2^k, B * 2^(n-k))) — a vmapped per-trajectory version would
+    materialize (B, 2^k, 2^k) intermediates (~GBs at k >= 10)."""
+    B = states.shape[0]
+    k = len(qs)
+    front = [n - 1 - q for q in reversed(qs)]
+    rest = [a for a in range(n) if a not in front]
+
+    def m_of(planes):  # (B, 2^n) -> (2^k, 2^(n-k) * B)
+        v = planes.reshape((B,) + (2,) * n)
+        v = v.transpose([1 + a for a in front] + [1 + a for a in rest] + [0])
+        return v.reshape(1 << k, (1 << (n - k)) * B)
+
+    mr, mi = m_of(states[:, 0]), m_of(states[:, 1])
+    hi = jax.lax.Precision.HIGHEST
+    rr = (
+        jnp.matmul(mr, mr.T, precision=hi)
+        + jnp.matmul(mi, mi.T, precision=hi)
+    ) / B
+    ri = (
+        jnp.matmul(mi, mr.T, precision=hi)
+        - jnp.matmul(mr, mi.T, precision=hi)
+    ) / B
+    return rr, ri
 
 
 @jax.jit
