@@ -321,3 +321,49 @@ class TestTrotter:
             trotter_circuit([(1.0, "Q")], 1.0, 1)
         with pytest.raises(ValueError):
             trotter_circuit([(1.0, "XX")], 1.0, 1, num_qubits=1)
+
+
+class TestTrotterSecondOrder:
+    def test_second_order_convergence_and_beats_first(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        n = 4
+        tfim = [(-1.0, "IIZZ"), (-1.0, "IZZI"), (-1.0, "ZZII"),
+                (-0.8, "IIIX"), (-0.8, "IIXI"), (-0.8, "IXII"),
+                (-0.8, "XIII")]
+        psi0 = np.zeros(1 << n, dtype=complex)
+        psi0[0] = 1
+        want = TestTrotter._exact(psi0, tfim, n, 0.6)
+
+        def err(order, steps):
+            sim = StateVectorSimulator(n, CFG)
+            sim.run(trotter_circuit(tfim, 0.6, steps, num_qubits=n,
+                                    order=order))
+            return np.abs(sim.get_state() - want).max()
+
+        e1_16 = err(1, 16)
+        e2_4, e2_16 = err(2, 4), err(2, 16)
+        # second order at 16 steps: ~1/steps^2 — an order of magnitude
+        # below first order at the same step count
+        assert e2_16 < e1_16 / 10
+        # and the 4->16 step refinement shrinks ~16x (second order)
+        assert e2_4 > 10 * e2_16
+        assert e2_16 < 1e-3
+
+    def test_single_term_exact_any_order(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        terms = [(0.7, "XZ")]
+        psi0 = np.zeros(4, dtype=complex)
+        psi0[0] = 1
+        want = TestTrotter._exact(psi0, terms, 2, 1.1)
+        for order in (1, 2):
+            sim = StateVectorSimulator(2, CFG)
+            sim.run(trotter_circuit(terms, 1.1, 1, order=order))
+            assert np.abs(sim.get_state() - want).max() < 1e-12
+
+    def test_invalid_order(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        with pytest.raises(ValueError):
+            trotter_circuit([(1.0, "X")], 1.0, 1, order=3)

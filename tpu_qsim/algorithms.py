@@ -208,8 +208,15 @@ def trotter_circuit(
     time: float,
     steps: int,
     num_qubits: int | None = None,
+    order: int = 1,
 ) -> Circuit:
-    """First-order Trotter circuit for H = sum_j c_j P_j.
+    """First- or second-order Trotter circuit for H = sum_j c_j P_j.
+
+    ``order=2`` is the symmetric Suzuki splitting: each step applies the
+    term exponentials at dt/2 forward then in reverse order at dt/2,
+    cutting the error from O(t^2/steps) to O(t^3/steps^2) at roughly
+    twice the gate count (exactly the same count for a single term,
+    where both orders are exact).
 
     ``terms`` are (coefficient, Pauli string) pairs read like kets — the
     rightmost character acts on qubit 0, matching
@@ -230,6 +237,8 @@ def trotter_circuit(
 
     if steps < 1:
         raise ValueError("steps must be >= 1")
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     parsed = []
     width = 0
     for coef, pauli in terms:
@@ -243,26 +252,36 @@ def trotter_circuit(
 
     c = Circuit(n)
     dt = time / steps
+
+    def emit_term(coef, involved, frac):
+        qs = [qq for qq, _ in involved]
+        for qq, p in involved:              # rotate each axis onto Z
+            if p == "X":
+                c.h(qq)
+            elif p == "Y":
+                c.sdg(qq)
+                c.h(qq)
+        for a, b in zip(qs, qs[1:]):        # parity ladder onto the last
+            c.cnot(a, b)
+        c.rz(qs[-1], 2.0 * coef * dt * frac)
+        for a, b in reversed(list(zip(qs, qs[1:]))):
+            c.cnot(a, b)
+        for qq, p in involved:
+            if p == "X":
+                c.h(qq)
+            elif p == "Y":
+                c.h(qq)
+                c.s(qq)
+
     for _ in range(steps):
-        for coef, involved in parsed:
-            qs = [qq for qq, _ in involved]
-            for qq, p in involved:          # rotate each axis onto Z
-                if p == "X":
-                    c.h(qq)
-                elif p == "Y":
-                    c.sdg(qq)
-                    c.h(qq)
-            for a, b in zip(qs, qs[1:]):    # parity ladder onto the last
-                c.cnot(a, b)
-            c.rz(qs[-1], 2.0 * coef * dt)
-            for a, b in reversed(list(zip(qs, qs[1:]))):
-                c.cnot(a, b)
-            for qq, p in involved:
-                if p == "X":
-                    c.h(qq)
-                elif p == "Y":
-                    c.h(qq)
-                    c.s(qq)
+        if order == 1:
+            for coef, involved in parsed:
+                emit_term(coef, involved, 1.0)
+        else:
+            for coef, involved in parsed:
+                emit_term(coef, involved, 0.5)
+            for coef, involved in reversed(parsed):
+                emit_term(coef, involved, 0.5)
     return c
 
 
