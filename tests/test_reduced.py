@@ -300,3 +300,29 @@ class TestPeerAliasing:
         # raw arrays (no num_qubits attribute) keep the shape-only contract
         sv = StateVectorSimulator(2, CFG)
         assert abs(sv.fidelity_with(sv.state_planes) - 1.0) < 1e-12
+
+
+class TestObservablesAcrossFamilies:
+    def test_noisy_trajectory_observables(self):
+        # NoisySimulator holds one pure trajectory: the inherited
+        # pure-state observables apply as-is
+        from tpu_qsim import NoiseModel, NoisySimulator, NoiseType
+
+        nm = NoiseModel()
+        nm.add(NoiseType.DEPOLARIZING, 0.0)   # p=0: trajectory = ideal
+        sim = NoisySimulator(3, nm, CFG, seed=2)
+        sim.run(q.ghz_circuit(3))
+        assert abs(sim.entanglement_entropy([0]) - 1.0) < 1e-8
+        sv = StateVectorSimulator(3, CFG)
+        sv.run(q.ghz_circuit(3))
+        assert abs(sim.fidelity_with(sv) - 1.0) < 1e-8
+
+    def test_sharded_simulator_observables(self):
+        # sharded planes flow through the same readout surface
+        from tpu_qsim import ShardedStateVectorSimulator
+
+        sim = ShardedStateVectorSimulator(10, config=CFG)
+        sim.run(q.ghz_circuit(10))
+        assert abs(sim.entanglement_entropy([0, 5]) - 1.0) < 1e-7
+        rho = sim.reduced_density_matrix([9])
+        assert np.abs(rho - np.eye(2) / 2).max() < 1e-7
