@@ -182,3 +182,29 @@ class TestLeakCensus:
             del s, s2
 
         census(cycle, cycles=4)
+
+
+class TestObservableLeaks:
+    def test_entanglement_observables(self):
+        # the round-3e observables allocate per-call device buffers
+        # (reduced matmuls, overlap scalars): the census must return to
+        # baseline across lifecycles
+        def cycle():
+            s = q.StateVectorSimulator(8, CFG)
+            s.run(ghz_circuit(8))
+            s.reduced_density_matrix([0, 3])
+            s.entanglement_entropy([1])
+            s.fidelity_with(s)
+            del s
+
+        census(cycle)
+
+    def test_dm_observables(self):
+        def cycle():
+            s = q.DensityMatrixSimulator(5, config=CFG)
+            s.run(ghz_circuit(5))
+            s.reduced_density_matrix([0, 2])
+            s.purity()
+            del s
+
+        census(cycle)
