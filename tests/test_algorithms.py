@@ -367,3 +367,49 @@ class TestTrotterSecondOrder:
 
         with pytest.raises(ValueError):
             trotter_circuit([(1.0, "X")], 1.0, 1, order=3)
+
+
+class TestClassicalShadows:
+    def test_ghz_stabilizers(self):
+        from tpu_qsim.algorithms import classical_shadow, shadow_expectation_pauli
+
+        sim = StateVectorSimulator(4, CFG)
+        sim.run(q.ghz_circuit(4))
+        shadow = classical_shadow(sim, 4000, seed=1)
+        # GHZ stabilizer values: <Z_i Z_j> = 1, <X^n> = 1, <Z_i> = 0
+        assert abs(shadow_expectation_pauli(shadow, "IIZZ") - 1.0) < 0.15
+        assert abs(shadow_expectation_pauli(shadow, "ZZII") - 1.0) < 0.15
+        assert abs(shadow_expectation_pauli(shadow, "XXXX") - 1.0) < 0.6
+        assert abs(shadow_expectation_pauli(shadow, "IIIZ")) < 0.15
+
+    def test_y_basis_convention(self):
+        # (|0> + i|1>)/sqrt(2) = S H |0> has <Y> = +1: pins the H.S-dagger
+        # rotation convention
+        from tpu_qsim.algorithms import classical_shadow, shadow_expectation_pauli
+
+        sim = StateVectorSimulator(1, CFG)
+        sim.run(q.Circuit(1).h(0).s(0))
+        assert abs(sim.expectation_pauli("Y") - 1.0) < 1e-10
+        shadow = classical_shadow(sim, 2000, seed=2)
+        assert abs(shadow_expectation_pauli(shadow, "Y") - 1.0) < 0.2
+
+    def test_matches_exact_on_random_state(self):
+        from tpu_qsim.algorithms import classical_shadow, shadow_expectation_pauli
+
+        sim = StateVectorSimulator(3, CFG)
+        sim.run(q.random_circuit(3, 30, seed=4))
+        shadow = classical_shadow(sim, 6000, seed=3)
+        for p in ("ZII", "IXI", "IIY", "ZZI", "XIX"):
+            exact = sim.expectation_pauli(p)
+            est = shadow_expectation_pauli(shadow, p, groups=10)
+            assert abs(est - exact) < 0.25, (p, exact, est)
+
+    def test_invalid_args(self):
+        from tpu_qsim.algorithms import classical_shadow, shadow_expectation_pauli
+
+        sim = StateVectorSimulator(2, CFG)
+        with pytest.raises(ValueError):
+            classical_shadow(sim, 0)
+        shadow = classical_shadow(sim, 10, seed=0)
+        with pytest.raises(ValueError):
+            shadow_expectation_pauli(shadow, "ZZ", groups=11)

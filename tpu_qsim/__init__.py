@@ -82,6 +82,8 @@ def __getattr__(name: str):
         "amplitude_estimation_circuit",
         "estimate_amplitude",
         "trotter_circuit",
+        "classical_shadow",
+        "shadow_expectation_pauli",
     ):
         from . import algorithms
 
