@@ -413,3 +413,21 @@ class TestClassicalShadows:
         shadow = classical_shadow(sim, 10, seed=0)
         with pytest.raises(ValueError):
             shadow_expectation_pauli(shadow, "ZZ", groups=11)
+
+
+class TestTrotterGateCounts:
+    def test_single_term_order2_no_extra_gates(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        c1 = trotter_circuit([(0.7, "XZ")], 1.0, 3, order=1)
+        c2 = trotter_circuit([(0.7, "XZ")], 1.0, 3, order=2)
+        assert len(c2.gates) == len(c1.gates)
+
+    def test_palindrome_junction_merged(self):
+        from tpu_qsim.algorithms import trotter_circuit
+
+        terms = [(0.5, "IZ"), (0.3, "XI"), (-0.2, "ZZ")]
+        c1 = trotter_circuit(terms, 1.0, 2, order=1)
+        c2 = trotter_circuit(terms, 1.0, 2, order=2)
+        # merged junction: (2m - 1) term emissions per step, not 2m
+        assert len(c2.gates) < 2 * len(c1.gates)

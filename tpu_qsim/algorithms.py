@@ -10,6 +10,7 @@ the way a variational optimizer would.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence
 
@@ -214,9 +215,11 @@ def trotter_circuit(
 
     ``order=2`` is the symmetric Suzuki splitting: each step applies the
     term exponentials at dt/2 forward then in reverse order at dt/2,
-    cutting the error from O(t^2/steps) to O(t^3/steps^2) at roughly
-    twice the gate count (exactly the same count for a single term,
-    where both orders are exact).
+    cutting the error from O(t^2/steps) to O(t^3/steps^2). The
+    palindrome junction (the last term, which would appear twice
+    back-to-back at dt/2) is merged into one full-dt exponential, so
+    the gate count is ~2x order 1 for many terms and exactly equal for
+    a single term (where both orders are exact).
 
     ``terms`` are (coefficient, Pauli string) pairs read like kets — the
     rightmost character acts on qubit 0, matching
@@ -274,13 +277,16 @@ def trotter_circuit(
                 c.s(qq)
 
     for _ in range(steps):
-        if order == 1:
+        if order == 1 or len(parsed) <= 1:
             for coef, involved in parsed:
                 emit_term(coef, involved, 1.0)
         else:
-            for coef, involved in parsed:
+            # symmetric sweep with the palindrome junction merged: the
+            # last term's two adjacent dt/2 halves emit once at full dt
+            for coef, involved in parsed[:-1]:
                 emit_term(coef, involved, 0.5)
-            for coef, involved in reversed(parsed):
+            emit_term(*parsed[-1], 1.0)
+            for coef, involved in reversed(parsed[:-1]):
                 emit_term(coef, involved, 0.5)
     return c
 
@@ -302,37 +308,49 @@ def classical_shadow(sim, num_snapshots: int, seed: int = 0):
     planes — size the snapshot batch accordingly at large n.
     """
     import jax
-    import jax.numpy as jnp
     import numpy as np
-
-    from . import apply as ap
-    from .base import sample_from_state
 
     if num_snapshots < 1:
         raise ValueError("num_snapshots must be >= 1")
     n = sim.num_qubits
     state = sim.state_planes
-    s2 = 1.0 / math.sqrt(2.0)
-    # rotations into the measurement basis: Z -> I, X -> H, Y -> H S†
-    rot = np.zeros((3, 2, 2), dtype=np.complex128)
-    rot[0] = np.eye(2)
-    rot[1] = np.array([[s2, s2], [s2, -s2]])
-    rot[2] = rot[1] @ np.diag([1.0, -1.0j])
-    rot_r = jnp.asarray(rot.real.astype(state.dtype))
-    rot_i = jnp.asarray(rot.imag.astype(state.dtype))
-
     kb, ks = jax.random.split(jax.random.PRNGKey(seed))
     bases = jax.random.randint(kb, (num_snapshots, n), 0, 3)
     keys = jax.random.split(ks, num_snapshots)
+    outcomes = _shadow_snapshot_fn(n)(state, bases, keys)
+    return np.asarray(bases), np.asarray(outcomes)
 
-    def snapshot(basis, k):
+
+@functools.lru_cache(maxsize=None)
+def _shadow_snapshot_fn(n: int):
+    """Compiled (state, bases, keys) -> outcomes for an n-qubit register,
+    cached per n so repeated shadows (e.g. one per VQE iterate) reuse
+    one XLA program instead of retracing a fresh closure each call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import apply as ap
+    from .base import sample_from_state
+    from .gates import gate_matrix
+
+    # rotations into the measurement basis: Z -> I, X -> H, Y -> H S†
+    # (library gate constants — one source of truth for conventions)
+    rot = np.stack([
+        np.eye(2, dtype=np.complex128),
+        gate_matrix("h"),
+        gate_matrix("h") @ gate_matrix("sdg"),
+    ])
+    rot_r = jnp.asarray(rot.real.astype(np.float32))
+    rot_i = jnp.asarray(rot.imag.astype(np.float32))
+
+    def snapshot(state, basis, k):
         s = state
         for qq in range(n):
             s = ap.apply_unitary(s, rot_r[basis[qq]], rot_i[basis[qq]], (qq,))
         return sample_from_state(s, k, 1)[0]
 
-    outcomes = jax.jit(jax.vmap(snapshot))(bases, keys)
-    return np.asarray(bases), np.asarray(outcomes)
+    return jax.jit(jax.vmap(snapshot, in_axes=(None, 0, 0)))
 
 
 def shadow_expectation_pauli(shadow, pauli: str, groups: int = 1) -> float:
