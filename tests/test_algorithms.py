@@ -431,3 +431,48 @@ class TestTrotterGateCounts:
         c2 = trotter_circuit(terms, 1.0, 2, order=2)
         # merged junction: (2m - 1) term emissions per step, not 2m
         assert len(c2.gates) < 2 * len(c1.gates)
+
+
+class TestVQE:
+    def test_heisenberg4_reaches_ground_state(self):
+        from tpu_qsim.algorithms import heisenberg_hamiltonian, vqe_minimize
+
+        terms = heisenberg_hamiltonian(4, 1, 1, 1)
+        exact = np.linalg.eigvalsh(
+            TestTrotter._ham(terms, 4)
+        ).min()
+        e, params, hist = vqe_minimize(
+            terms, 4, layers=3, steps=200, learning_rate=0.05, seed=2
+        )
+        assert abs(e - exact) < 0.01
+        assert e <= hist[0]          # optimization actually descended
+        assert len(hist) == 200
+
+    def test_tfim6_close_to_ground_state(self):
+        from tpu_qsim.algorithms import tfim_hamiltonian, vqe_minimize
+
+        terms = tfim_hamiltonian(6, 1.0, 0.7)
+        exact = np.linalg.eigvalsh(TestTrotter._ham(terms, 6)).min()
+        e, _, _ = vqe_minimize(
+            terms, 6, layers=3, steps=200, learning_rate=0.05, seed=1
+        )
+        # generic hardware-efficient ansatz at 3 layers: within 3% of E0
+        assert exact <= e < exact + 0.03 * abs(exact)
+
+    def test_hamiltonian_factories(self):
+        from tpu_qsim.algorithms import (
+            heisenberg_hamiltonian,
+            tfim_hamiltonian,
+        )
+
+        t = tfim_hamiltonian(4, j=2.0, h=0.5)
+        assert len(t) == 3 + 4
+        assert all(c == -2.0 for c, p in t if "ZZ" in p)
+        assert all(c == -0.5 for c, p in t if "X" in p)
+        hh = heisenberg_hamiltonian(3, 1.0, 0.0, 0.5)
+        # jy=0 terms elided
+        assert len(hh) == 4 and not any("Y" in p for _, p in hh)
+        with pytest.raises(ValueError):
+            tfim_hamiltonian(1)
+        with pytest.raises(ValueError):
+            heisenberg_hamiltonian(1)

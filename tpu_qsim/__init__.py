@@ -84,6 +84,9 @@ def __getattr__(name: str):
         "trotter_circuit",
         "classical_shadow",
         "shadow_expectation_pauli",
+        "tfim_hamiltonian",
+        "heisenberg_hamiltonian",
+        "vqe_minimize",
     ):
         from . import algorithms
 

@@ -291,6 +291,95 @@ def trotter_circuit(
     return c
 
 
+def tfim_hamiltonian(
+    num_qubits: int, j: float = 1.0, h: float = 1.0
+) -> list[tuple[float, str]]:
+    """Transverse-field Ising chain (open boundary):
+    H = -j * sum ZZ - h * sum X, as ``(coeff, pauli)`` terms compatible
+    with ``build_expectation_fn``, ``trotter_circuit``, ``vqe_minimize``."""
+    if num_qubits < 2:
+        raise ValueError("TFIM needs at least 2 qubits")
+    n = num_qubits
+    terms = [
+        (-j, "I" * (n - 2 - i) + "ZZ" + "I" * i) for i in range(n - 1)
+    ]
+    terms += [(-h, "I" * (n - 1 - i) + "X" + "I" * i) for i in range(n)]
+    return terms
+
+
+def heisenberg_hamiltonian(
+    num_qubits: int,
+    jx: float = 1.0,
+    jy: float = 1.0,
+    jz: float = 1.0,
+) -> list[tuple[float, str]]:
+    """XYZ Heisenberg chain (open boundary):
+    H = sum_i (jx XX + jy YY + jz ZZ) on neighbors, as term pairs."""
+    if num_qubits < 2:
+        raise ValueError("Heisenberg chain needs at least 2 qubits")
+    n = num_qubits
+    terms: list[tuple[float, str]] = []
+    for i in range(n - 1):
+        for coef, p in ((jx, "XX"), (jy, "YY"), (jz, "ZZ")):
+            if coef != 0.0:
+                terms.append((coef, "I" * (n - 2 - i) + p + "I" * i))
+    return terms
+
+
+def vqe_minimize(
+    hamiltonian: Sequence[tuple[float, str]],
+    num_qubits: int,
+    layers: int = 2,
+    steps: int = 100,
+    learning_rate: float = 0.1,
+    seed: int = 0,
+):
+    """Variational ground-state search: hardware-efficient ansatz +
+    adjoint-mode gradients + Adam, the whole optimization as jitted
+    device steps (one value_and_grad execution per step, no
+    parameter-shift double-execution).
+
+    Returns ``(energy, params, history)``: the best energy found, its
+    parameter vector, and the per-step energy trace. Uses
+    ``hardware_efficient_ansatz`` (Ry/Rz layers + CNOT ring) and optax
+    Adam. The reference had no parameter abstraction, observables, or
+    differentiation — this whole workload class is beyond it.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .circuit import hardware_efficient_ansatz
+    from .statevector import build_expectation_fn
+
+    energy_fn = build_expectation_fn(
+        hardware_efficient_ansatz(num_qubits, layers, seed=seed),
+        list(hamiltonian),
+    )
+    params = jnp.asarray(
+        hardware_efficient_ansatz(num_qubits, layers, seed=seed).params(),
+        dtype=jnp.float32,
+    )
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        e, g = jax.value_and_grad(energy_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, e
+
+    history = []
+    best_e, best_p = float("inf"), params
+    for _ in range(steps):
+        params, opt_state, e = step(params, opt_state)
+        e = float(e)
+        history.append(e)
+        if e < best_e:
+            best_e, best_p = e, params
+    return best_e, best_p, history
+
+
 def classical_shadow(sim, num_snapshots: int, seed: int = 0):
     """Random-Pauli-basis classical shadow of the simulator's state.
 
