@@ -326,3 +326,16 @@ class TestObservablesAcrossFamilies:
         assert abs(sim.entanglement_entropy([0, 5]) - 1.0) < 1e-7
         rho = sim.reduced_density_matrix([9])
         assert np.abs(rho - np.eye(2) / 2).max() < 1e-7
+
+
+class TestShardedBatchedEnsemble:
+    def test_sharded_ensemble_observables(self):
+        # the dp-sharded trajectory batch flows through the same
+        # single-matmul ensemble partial trace (8 virtual devices)
+        from tpu_qsim import NoiseModel, ShardedBatchedSimulator
+
+        b = ShardedBatchedSimulator(6, 8, NoiseModel(), config=CFG)
+        b.run(q.ghz_circuit(6))
+        rho = b.reduced_density_matrix([0, 5])
+        assert abs(np.trace(rho).real - 1.0) < 1e-8
+        assert abs(b.entanglement_entropy([0]) - 1.0) < 1e-7

@@ -68,7 +68,7 @@ def __getattr__(name: str):
         from . import density
 
         return getattr(density, name)
-    if name in ("ShardedStateVectorSimulator",):
+    if name in ("ShardedStateVectorSimulator", "ShardedBatchedSimulator"):
         from . import parallel
 
         return getattr(parallel, name)
