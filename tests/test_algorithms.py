@@ -476,3 +476,47 @@ class TestVQE:
             tfim_hamiltonian(1)
         with pytest.raises(ValueError):
             heisenberg_hamiltonian(1)
+
+
+class TestShadowTomography:
+    def test_matches_exact_reduced_dm(self):
+        from tpu_qsim.algorithms import (
+            classical_shadow,
+            shadow_reduced_density_matrix,
+        )
+
+        sim = StateVectorSimulator(4, CFG)
+        sim.run(q.ghz_circuit(4))
+        sh = classical_shadow(sim, 8000, seed=7)
+        for subset in ([0], [0, 1], [2, 3]):
+            est = shadow_reduced_density_matrix(sh, subset)
+            exact = sim.reduced_density_matrix(subset)
+            assert np.abs(est - exact).max() < 0.1
+            # exact-by-construction properties at ANY snapshot count
+            assert abs(np.trace(est).real - 1.0) < 1e-10
+            assert np.abs(est - est.conj().T).max() < 1e-12
+
+    def test_single_snapshot_is_unit_trace(self):
+        from tpu_qsim.algorithms import (
+            classical_shadow,
+            shadow_reduced_density_matrix,
+        )
+
+        sim = StateVectorSimulator(3, CFG)
+        sim.run(q.random_circuit(3, 20, seed=5))
+        sh = classical_shadow(sim, 1, seed=0)
+        est = shadow_reduced_density_matrix(sh, [0, 2])
+        assert abs(np.trace(est).real - 1.0) < 1e-10
+
+    def test_invalid_subsets(self):
+        from tpu_qsim.algorithms import (
+            classical_shadow,
+            shadow_reduced_density_matrix,
+        )
+
+        sim = StateVectorSimulator(2, CFG)
+        sh = classical_shadow(sim, 10, seed=0)
+        with pytest.raises(ValueError):
+            shadow_reduced_density_matrix(sh, [0, 0])
+        with pytest.raises(ValueError):
+            shadow_reduced_density_matrix(sh, [])

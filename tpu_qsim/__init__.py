@@ -84,6 +84,7 @@ def __getattr__(name: str):
         "trotter_circuit",
         "classical_shadow",
         "shadow_expectation_pauli",
+        "shadow_reduced_density_matrix",
         "tfim_hamiltonian",
         "heisenberg_hamiltonian",
         "vqe_minimize",

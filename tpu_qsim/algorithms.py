@@ -410,6 +410,55 @@ def classical_shadow(sim, num_snapshots: int, seed: int = 0):
     return np.asarray(bases), np.asarray(outcomes)
 
 
+def shadow_reduced_density_matrix(shadow, qubits) -> "np.ndarray":
+    """Reconstruct the reduced density matrix on ``qubits`` from a
+    classical shadow: the snapshot average of
+    ⊗_q (3 U_q† |b_q><b_q| U_q − I), the inverse-channel single-copy
+    estimator. Index convention matches ``reduced_density_matrix``
+    (reduced bit j = qubits[j]).
+
+    A measurement-only counterpart of the exact on-device partial
+    trace — converges as O(1/sqrt(num_snapshots)) and needs only the
+    (bases, outcomes) record, not the state. The returned matrix is
+    Hermitian with unit trace by construction but (at finite snapshots)
+    not necessarily positive."""
+    import numpy as np
+
+    from .gates import gate_matrix
+
+    bases, outcomes = shadow
+    qs = tuple(int(q) for q in qubits)
+    if len(set(qs)) != len(qs):
+        raise ValueError("duplicate qubits in subset")
+    if not (1 <= len(qs) <= 8):
+        raise ValueError("shadow tomography supports 1..8 qubits")
+    rot = [
+        np.eye(2, dtype=np.complex128),
+        gate_matrix("h"),
+        gate_matrix("h") @ gate_matrix("sdg"),
+    ]
+    eye = np.eye(2)
+    # per (basis, outcome-bit): 3 U† |b><b| U - I  (the 1q inverse channel)
+    single = np.empty((3, 2, 2, 2), dtype=np.complex128)
+    for basis in range(3):
+        u = rot[basis]
+        for bit in range(2):
+            proj = np.outer(u.conj().T[:, bit], u[bit, :])
+            single[basis, bit] = 3.0 * proj - eye
+    # batched kron over snapshots: reduced bit j = qs[j], so qs[k-1] is
+    # the MSB factor
+    outcomes = np.asarray(outcomes)
+    msb = qs[-1]
+    acc = single[bases[:, msb], (outcomes >> msb) & 1]
+    for qq in reversed(qs[:-1]):
+        nxt = single[bases[:, qq], (outcomes >> qq) & 1]
+        d = acc.shape[1]
+        acc = np.einsum("tij,tkl->tikjl", acc, nxt).reshape(
+            -1, d * 2, d * 2
+        )
+    return acc.mean(axis=0)
+
+
 @functools.lru_cache(maxsize=None)
 def _shadow_snapshot_fn(n: int):
     """Compiled (state, bases, keys) -> outcomes for an n-qubit register,
