@@ -520,3 +520,25 @@ class TestShadowTomography:
             shadow_reduced_density_matrix(sh, [0, 0])
         with pytest.raises(ValueError):
             shadow_reduced_density_matrix(sh, [])
+
+
+class TestShadowChunking:
+    def test_chunked_equals_unchunked(self):
+        # same seed => identical (bases, outcomes) regardless of chunking
+        from tpu_qsim.algorithms import classical_shadow
+
+        sim = StateVectorSimulator(3, CFG)
+        sim.run(q.ghz_circuit(3))
+        b1, o1 = classical_shadow(sim, 100, seed=4, chunk=512)
+        b2, o2 = classical_shadow(sim, 100, seed=4, chunk=32)
+        b3, o3 = classical_shadow(sim, 100, seed=4, chunk=7)  # padded tail
+        assert (b1 == b2).all() and (o1 == o2).all()
+        assert (b1 == b3).all() and (o1 == o3).all()
+        assert b1.shape == (100, 3) and o1.shape == (100,)
+
+    def test_invalid_chunk(self):
+        from tpu_qsim.algorithms import classical_shadow
+
+        sim = StateVectorSimulator(2, CFG)
+        with pytest.raises(ValueError):
+            classical_shadow(sim, 10, chunk=0)

@@ -380,7 +380,9 @@ def vqe_minimize(
     return best_e, best_p, history
 
 
-def classical_shadow(sim, num_snapshots: int, seed: int = 0):
+def classical_shadow(
+    sim, num_snapshots: int, seed: int = 0, chunk: int = 512
+):
     """Random-Pauli-basis classical shadow of the simulator's state.
 
     One jitted ``vmap`` over snapshots: each draws a per-qubit
@@ -393,21 +395,36 @@ def classical_shadow(sim, num_snapshots: int, seed: int = 0):
     2: Y}, outcomes[t] the sampled basis index. Feed to
     :func:`shadow_expectation_pauli`.
 
-    Memory: the vmapped rotation materializes (num_snapshots, 2, 2^n)
-    planes — size the snapshot batch accordingly at large n.
+    Memory: the vmapped rotation materializes (chunk, 2, 2^n) planes per
+    device call — snapshots are processed in fixed-size chunks of
+    ``chunk`` (one compiled program reused across chunks; the tail chunk
+    is padded and trimmed) so large-n shadows stay within HBM: at 24q,
+    chunk=512 peaks at ~69 GB -> lower ``chunk`` there; the default
+    handles 20q (~4.3 GB).
     """
     import jax
     import numpy as np
 
     if num_snapshots < 1:
         raise ValueError("num_snapshots must be >= 1")
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
     n = sim.num_qubits
     state = sim.state_planes
     kb, ks = jax.random.split(jax.random.PRNGKey(seed))
-    bases = jax.random.randint(kb, (num_snapshots, n), 0, 3)
-    keys = jax.random.split(ks, num_snapshots)
-    outcomes = _shadow_snapshot_fn(n)(state, bases, keys)
-    return np.asarray(bases), np.asarray(outcomes)
+    chunk = min(chunk, num_snapshots)
+    padded = -(-num_snapshots // chunk) * chunk
+    bases = jax.random.randint(kb, (padded, n), 0, 3)
+    keys = jax.random.split(ks, padded)
+    fn = _shadow_snapshot_fn(n)
+    outcomes = np.concatenate([
+        np.asarray(fn(state, bases[i : i + chunk], keys[i : i + chunk]))
+        for i in range(0, padded, chunk)
+    ])
+    return (
+        np.asarray(bases)[:num_snapshots],
+        outcomes[:num_snapshots],
+    )
 
 
 def shadow_reduced_density_matrix(shadow, qubits) -> "np.ndarray":
