@@ -520,6 +520,12 @@ class TestShadowTomography:
             shadow_reduced_density_matrix(sh, [0, 0])
         with pytest.raises(ValueError):
             shadow_reduced_density_matrix(sh, [])
+        with pytest.raises(ValueError):
+            # negative indices would silently alias bases[:, -1] while the
+            # outcome shift reads zeros — must reject, not corrupt
+            shadow_reduced_density_matrix(sh, [-1])
+        with pytest.raises(ValueError):
+            shadow_reduced_density_matrix(sh, [5])
 
 
 class TestShadowChunking:

@@ -403,6 +403,7 @@ def classical_shadow(
     handles 20q (~4.3 GB).
     """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     if num_snapshots < 1:
@@ -412,19 +413,24 @@ def classical_shadow(
     n = sim.num_qubits
     state = sim.state_planes
     kb, ks = jax.random.split(jax.random.PRNGKey(seed))
+    # draw EXACTLY num_snapshots rows (chunk-independent shapes, so the
+    # record is bitwise chunk-invariant under any threefry mode), then
+    # pad the tail chunk by repetition — padded outcomes are trimmed
     chunk = min(chunk, num_snapshots)
-    padded = -(-num_snapshots // chunk) * chunk
-    bases = jax.random.randint(kb, (padded, n), 0, 3)
-    keys = jax.random.split(ks, padded)
+    bases = jax.random.randint(kb, (num_snapshots, n), 0, 3)
+    keys = jax.random.split(ks, num_snapshots)
+    pad = (-num_snapshots) % chunk
+    if pad:
+        bases_x = jnp.concatenate([bases, bases[:pad]])
+        keys_x = jnp.concatenate([keys, keys[:pad]])
+    else:
+        bases_x, keys_x = bases, keys
     fn = _shadow_snapshot_fn(n)
     outcomes = np.concatenate([
-        np.asarray(fn(state, bases[i : i + chunk], keys[i : i + chunk]))
-        for i in range(0, padded, chunk)
+        np.asarray(fn(state, bases_x[i : i + chunk], keys_x[i : i + chunk]))
+        for i in range(0, num_snapshots + pad, chunk)
     ])
-    return (
-        np.asarray(bases)[:num_snapshots],
-        outcomes[:num_snapshots],
-    )
+    return np.asarray(bases), outcomes[:num_snapshots]
 
 
 def shadow_reduced_density_matrix(shadow, qubits) -> "np.ndarray":
@@ -441,19 +447,19 @@ def shadow_reduced_density_matrix(shadow, qubits) -> "np.ndarray":
     not necessarily positive."""
     import numpy as np
 
-    from .gates import gate_matrix
-
     bases, outcomes = shadow
+    bases = np.asarray(bases)
+    outcomes = np.asarray(outcomes)
+    n = bases.shape[1]
     qs = tuple(int(q) for q in qubits)
+    for q in qs:
+        if not (0 <= q < n):
+            raise ValueError(f"qubit {q} out of range for {n}-qubit shadow")
     if len(set(qs)) != len(qs):
         raise ValueError("duplicate qubits in subset")
     if not (1 <= len(qs) <= 8):
         raise ValueError("shadow tomography supports 1..8 qubits")
-    rot = [
-        np.eye(2, dtype=np.complex128),
-        gate_matrix("h"),
-        gate_matrix("h") @ gate_matrix("sdg"),
-    ]
+    rot = _shadow_rotations()
     eye = np.eye(2)
     # per (basis, outcome-bit): 3 U† |b><b| U - I  (the 1q inverse channel)
     single = np.empty((3, 2, 2, 2), dtype=np.complex128)
@@ -462,18 +468,42 @@ def shadow_reduced_density_matrix(shadow, qubits) -> "np.ndarray":
         for bit in range(2):
             proj = np.outer(u.conj().T[:, bit], u[bit, :])
             single[basis, bit] = 3.0 * proj - eye
-    # batched kron over snapshots: reduced bit j = qs[j], so qs[k-1] is
-    # the MSB factor
-    outcomes = np.asarray(outcomes)
-    msb = qs[-1]
-    acc = single[bases[:, msb], (outcomes >> msb) & 1]
-    for qq in reversed(qs[:-1]):
-        nxt = single[bases[:, qq], (outcomes >> qq) & 1]
-        d = acc.shape[1]
-        acc = np.einsum("tij,tkl->tikjl", acc, nxt).reshape(
-            -1, d * 2, d * 2
-        )
-    return acc.mean(axis=0)
+    # batched kron over snapshot chunks (bounded host memory: the full
+    # (T, 2^k, 2^k) stack is 105 GB at k=8, T=1e5): reduced bit j =
+    # qs[j], so qs[k-1] is the MSB factor; accumulate the running sum
+    k = len(qs)
+    total = np.zeros((1 << k, 1 << k), dtype=np.complex128)
+    step = 4096
+    for i in range(0, bases.shape[0], step):
+        b = bases[i : i + step]
+        o = outcomes[i : i + step]
+        msb = qs[-1]
+        acc = single[b[:, msb], (o >> msb) & 1]
+        for qq in reversed(qs[:-1]):
+            nxt = single[b[:, qq], (o >> qq) & 1]
+            d = acc.shape[1]
+            acc = np.einsum("tij,tkl->tikjl", acc, nxt).reshape(
+                -1, d * 2, d * 2
+            )
+        total += acc.sum(axis=0)
+    return total / bases.shape[0]
+
+
+@functools.lru_cache(maxsize=1)
+def _shadow_rotations():
+    """Measurement-basis rotations (Z -> I, X -> H, Y -> H S†), built from
+    the library's canonical gate constants — the ONE source of truth
+    shared by the snapshot program and the inverse-channel decoder
+    (any divergence would silently corrupt shadow estimates)."""
+    import numpy as np
+
+    from .gates import gate_matrix
+
+    return (
+        np.eye(2, dtype=np.complex128),
+        gate_matrix("h"),
+        gate_matrix("h") @ gate_matrix("sdg"),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -487,15 +517,8 @@ def _shadow_snapshot_fn(n: int):
 
     from . import apply as ap
     from .base import sample_from_state
-    from .gates import gate_matrix
 
-    # rotations into the measurement basis: Z -> I, X -> H, Y -> H S†
-    # (library gate constants — one source of truth for conventions)
-    rot = np.stack([
-        np.eye(2, dtype=np.complex128),
-        gate_matrix("h"),
-        gate_matrix("h") @ gate_matrix("sdg"),
-    ])
+    rot = np.stack(_shadow_rotations())
     rot_r = jnp.asarray(rot.real.astype(np.float32))
     rot_i = jnp.asarray(rot.imag.astype(np.float32))
 
