@@ -55,6 +55,16 @@ class TestBenchmarkScripts:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "all classes planned" in r.stdout
 
+    def test_algorithms_benchmark(self):
+        r = run_script(
+            ["benchmarks/benchmark_algorithms.py", "--qubits", "10",
+             "--shadows", "8", "--reps", "2"],
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "vqe adam step" in r.stdout
+        assert "trotter2" in r.stdout
+
     def test_validation_conventions(self):
         r = run_script(["validation/validate_conventions.py"])
         assert r.returncode == 0, r.stdout[-2000:]
