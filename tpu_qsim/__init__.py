@@ -92,4 +92,8 @@ def __getattr__(name: str):
         from . import algorithms
 
         return getattr(algorithms, name)
+    if name in ("from_qasm", "from_qasm_file", "to_qasm"):
+        from . import qasm
+
+        return getattr(qasm, name)
     raise AttributeError(f"module 'tpu_qsim' has no attribute '{name}'")
