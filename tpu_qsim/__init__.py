@@ -96,4 +96,8 @@ def __getattr__(name: str):
         from . import qasm
 
         return getattr(qasm, name)
+    if name in ("StabilizerSimulator",):
+        from . import stabilizer
+
+        return getattr(stabilizer, name)
     raise AttributeError(f"module 'tpu_qsim' has no attribute '{name}'")
