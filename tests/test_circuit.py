@@ -161,3 +161,55 @@ class TestInverse:
         c = Circuit(2).add("inv_test_p1", 0, param=0.3)
         with pytest.raises(ValueError, match="cannot invert"):
             c.inverse()
+
+
+class TestRegistryHygiene:
+    """Round-4 VERDICT item 7: no global side effects from inverse(); inline
+    matrix payloads are validated and hash-distinct."""
+
+    def test_inverse_does_not_register_global_gates(self):
+        import tpu_qsim as q
+        from tpu_qsim import gates as G
+
+        rng = np.random.default_rng(11)
+        m = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+        qm, _ = np.linalg.qr(m)
+        G.register_gate("hyg_test_u1", qm)
+        before = set(G.GATE_NAMES)
+        c = Circuit(3).add("hyg_test_u1", 1).h(0)
+        inv = c.inverse()
+        assert set(G.GATE_NAMES) == before  # no __dag registration
+        g = inv.gates[-1]
+        assert g.matrix_bytes is not None
+        np.testing.assert_allclose(g.matrix, qm.conj().T, atol=1e-15)
+        # double inverse round-trips numerically
+        sim = q.CPUReferenceSimulator(3)
+        sim.run(c)
+        sim.run(inv)
+        got = sim.get_state()
+        assert abs(got[0] - 1.0) < 1e-12 and np.abs(got[1:]).max() < 1e-12
+
+    def test_inline_matrix_gate_validation(self):
+        good = np.ascontiguousarray(np.eye(2, dtype=np.complex128)).tobytes()
+        Gate("anything", (0,), matrix_bytes=good)  # name needn't be registered
+        with pytest.raises(ValueError, match="payload"):
+            Gate("bad", (0, 1), matrix_bytes=good)  # wrong size for 2 qubits
+        with pytest.raises(ValueError, match="no parameter"):
+            Gate("bad", (0,), param=0.5, matrix_bytes=good)
+
+    def test_inline_matrix_distinguishes_signature(self):
+        a = np.ascontiguousarray(np.eye(2, dtype=np.complex128)).tobytes()
+        b = np.ascontiguousarray(
+            np.array([[0, 1], [1, 0]], dtype=np.complex128)
+        ).tobytes()
+        g1 = Gate("u", (0,), matrix_bytes=a)
+        g2 = Gate("u", (0,), matrix_bytes=b)
+        assert g1 != g2 and hash(g1) != hash(g2)
+
+    def test_mcz_registration_updates_shared_sets_in_place(self):
+        from tpu_qsim import gates as G
+
+        names_obj = G.GATE_NAMES
+        diag_obj = G.DIAGONAL_GATES
+        Circuit(9).mcz(*range(9))
+        assert "mcz9" in names_obj and "mcz9" in diag_obj  # same objects

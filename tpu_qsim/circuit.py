@@ -29,13 +29,34 @@ class Gate:
 
     The analog of the reference's ``GateOp`` (include/Circuit.hpp:64-84), but
     name-keyed instead of enum-keyed so user-defined gates can plug in later.
+
+    ``matrix_bytes`` optionally carries a circuit-local unitary inline (the
+    row-major complex128 buffer of a (2^k, 2^k) matrix): such a gate does not
+    touch the process-global registry at all — its name is a display label —
+    and backends resolve it via :func:`tpu_qsim.gates.op_matrix`. The payload
+    participates in equality/hashing (compile caches key on ``signature()``),
+    and ``bytes`` keeps the dataclass hashable.
     """
 
     name: str
     qubits: tuple[int, ...]
     param: float | None = None
+    matrix_bytes: bytes | None = None
 
     def __post_init__(self) -> None:
+        if len(set(self.qubits)) != len(self.qubits):
+            raise ValueError(f"gate '{self.name}' qubits must be distinct: {self.qubits}")
+        if self.matrix_bytes is not None:
+            if self.param is not None:
+                raise ValueError("inline-matrix gates take no parameter")
+            dim = 1 << len(self.qubits)
+            if len(self.matrix_bytes) != dim * dim * 16:
+                raise ValueError(
+                    f"inline matrix payload is {len(self.matrix_bytes)} bytes; "
+                    f"a {len(self.qubits)}-qubit gate needs {dim * dim * 16} "
+                    f"(row-major complex128)"
+                )
+            return
         if self.name not in GATE_NAMES:
             raise ValueError(f"unknown gate '{self.name}'")
         arity = GATE_ARITY[self.name]
@@ -43,8 +64,6 @@ class Gate:
             raise ValueError(
                 f"gate '{self.name}' acts on {arity} qubit(s), got {self.qubits}"
             )
-        if len(set(self.qubits)) != len(self.qubits):
-            raise ValueError(f"gate '{self.name}' qubits must be distinct: {self.qubits}")
         if self.name in PARAM_GATES:
             if self.param is None:
                 raise ValueError(f"gate '{self.name}' requires a parameter")
@@ -54,6 +73,18 @@ class Gate:
     @property
     def arity(self) -> int:
         return len(self.qubits)
+
+    @property
+    def matrix(self):
+        """The inline unitary as an ndarray, or None for registry gates."""
+        if self.matrix_bytes is None:
+            return None
+        import numpy as np
+
+        dim = 1 << len(self.qubits)
+        return np.frombuffer(self.matrix_bytes, dtype=np.complex128).reshape(
+            dim, dim
+        )
 
 
 class Circuit:
@@ -107,15 +138,13 @@ class Circuit:
         ``c.inverse()`` after ``c`` restores any input state — the standard
         self-certification for sizes where a full oracle state is
         impractical (U-dagger U |0...0> = |0...0>). Library gates invert by
-        name/parameter; registered fixed-matrix gates auto-register a
-        ``<name>__dag`` adjoint. The reference has no analog (its circuits
-        are forward-only, reference include/Circuit.hpp:94-122)."""
-        from .gates import (
-            GATE_NAMES,
-            PARAM_GATES,
-            gate_matrix,
-            register_gate,
-        )
+        name/parameter; registered fixed-matrix gates invert as an inline
+        ``matrix_bytes`` adjoint carried by the inverse circuit itself — no
+        global registration side effect. The reference has no analog (its
+        circuits are forward-only, reference include/Circuit.hpp:94-122)."""
+        import numpy as np
+
+        from .gates import PARAM_GATES, gate_matrix
 
         self_inverse = {
             "i", "x", "y", "z", "h", "cnot", "cx", "cz", "swap",
@@ -126,7 +155,17 @@ class Circuit:
         inv = Circuit(self._num_qubits)
         for g in reversed(self._gates):
             nm = g.name
-            if (
+            if g.matrix_bytes is not None:
+                adj = g.matrix.conj().T
+                dag = nm[: -len("__dag")] if nm.endswith("__dag") else nm + "__dag"
+                inv.append(
+                    Gate(
+                        dag,
+                        g.qubits,
+                        matrix_bytes=np.ascontiguousarray(adj).tobytes(),
+                    )
+                )
+            elif (
                 nm in self_inverse
                 or nm.startswith("mcz")
                 or nm.startswith("mcx")
@@ -141,14 +180,10 @@ class Circuit:
                     f"cannot invert registered parameterized gate '{nm}'"
                 )
             else:
-                dag = nm + "__dag"
-                if dag not in GATE_NAMES:
-                    register_gate(
-                        dag,
-                        gate_matrix(nm).conj().T,
-                        num_qubits=len(g.qubits),
-                    )
-                inv.add(dag, *g.qubits)
+                adj = np.ascontiguousarray(gate_matrix(nm).conj().T)
+                inv.append(
+                    Gate(nm + "__dag", g.qubits, matrix_bytes=adj.tobytes())
+                )
         return inv
 
     def __repr__(self) -> str:

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from .circuit import Circuit, Gate
-from .gates import gate_matrix
+from .gates import op_matrix
 
 
 # Below this size the canonical pair-index gather path runs everywhere
@@ -154,7 +154,7 @@ class CPUReferenceSimulator:
             quads[k_out][...] = acc if acc is not None else 0.0
 
     def apply_gate(self, gate: Gate) -> None:
-        self.apply_matrix(gate_matrix(gate.name, gate.param), gate.qubits)
+        self.apply_matrix(op_matrix(gate), gate.qubits)
 
     def run(self, circuit: Circuit) -> None:
         if circuit.num_qubits != self.num_qubits:

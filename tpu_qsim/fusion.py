@@ -31,7 +31,7 @@ import numpy as np
 
 from .circuit import Circuit, Gate
 from . import gates as _gates
-from .gates import gate_matrix
+from .gates import op_matrix
 
 
 @dataclass
@@ -161,12 +161,12 @@ def compose_group(gates: list[Gate], qubits: tuple[int, ...]) -> np.ndarray:
     if all(g.name in _gates.DIAGONAL_GATES for g in gates):
         d = np.ones(1 << len(qubits), dtype=np.complex128)
         for g in gates:
-            gd = np.diagonal(gate_matrix(g.name, g.param))
+            gd = np.diagonal(op_matrix(g))
             d = d * expand_diagonal(gd, g.qubits, qubits)
         return np.diag(d)
     u: np.ndarray | None = None
     for g in gates:
-        gm = gate_matrix(g.name, g.param)
+        gm = op_matrix(g)
         e = expand_matrix(gm, g.qubits, qubits)
         u = e.astype(np.complex128, copy=True) if u is None else e @ u
     return u
@@ -193,7 +193,7 @@ def unfused_circuit(circuit: Circuit) -> list[FusedGate]:
         out.append(
             FusedGate(
                 tuple(g.qubits),
-                gate_matrix(g.name, g.param),
+                op_matrix(g),
                 g.name in _gates.DIAGONAL_GATES,
                 1,
             )

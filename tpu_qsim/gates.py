@@ -31,9 +31,16 @@ reference src/Gates.cu:31-412.
 from __future__ import annotations
 
 import math
+import threading
 from functools import lru_cache
 
 import numpy as np
+
+# Registration is PROCESS-GLOBAL: names added via register_gate (or lazily by
+# multi_controlled_z_name) are visible to every Circuit in the process. The
+# registry containers below are mutated in place under this lock and are never
+# rebound, so modules that imported them always see the current contents.
+_REGISTRY_LOCK = threading.Lock()
 
 INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
@@ -152,19 +159,14 @@ def multi_controlled_z_name(k: int) -> str:
             f"mcz supports 1..{MAX_MCZ_QUBITS} qubits, got {k}"
         )
     name = f"mcz{k}"
-    if name not in GATE_ARITY:
-        d = np.ones(1 << k, dtype=np.complex128)
-        d[-1] = -1.0
-        mat = np.diag(d)
-        _FIXED[name] = mat
-        GATE_ARITY[name] = k
-        global DIAGONAL_GATES, GATE_NAMES
-        DIAGONAL_GATES = DIAGONAL_GATES | {name}
-        GATE_NAMES = frozenset(GATE_ARITY)
-        from . import circuit as _circuit_mod
-
-        _circuit_mod.GATE_ARITY = GATE_ARITY
-        _circuit_mod.GATE_NAMES = GATE_NAMES
+    with _REGISTRY_LOCK:
+        if name not in GATE_ARITY:
+            d = np.ones(1 << k, dtype=np.complex128)
+            d[-1] = -1.0
+            _FIXED[name] = np.diag(d)
+            GATE_ARITY[name] = k
+            DIAGONAL_GATES.add(name)
+            GATE_NAMES.add(name)
     return name
 
 
@@ -207,13 +209,13 @@ GATE_ARITY = {
 }
 
 # Gates whose matrix is diagonal (used by fusion/kernel planners).
-DIAGONAL_GATES = frozenset(
-    {"i", "z", "s", "sdg", "t", "tdg", "rz", "p", "cz", "crz", "cp"}
-)
+# NOTE: these three are plain mutable sets updated IN PLACE by register_gate /
+# multi_controlled_z_name (never rebound), so `from .gates import ...` imports
+# elsewhere always observe registrations.
+DIAGONAL_GATES = {"i", "z", "s", "sdg", "t", "tdg", "rz", "p", "cz", "crz", "cp"}
 
-
-PARAM_GATES = frozenset(_PARAM)
-GATE_NAMES = frozenset(GATE_ARITY)
+PARAM_GATES = set(_PARAM)
+GATE_NAMES = set(GATE_ARITY)
 
 
 def register_gate(
@@ -228,51 +230,49 @@ def register_gate(
     ``param -> matrix`` for a parameterized gate (``num_qubits`` required in
     the callable case). Extensibility hook beyond the reference's closed
     17-member enum (reference include/Circuit.hpp:42-59).
-    """
-    if name in GATE_ARITY:
-        raise ValueError(f"gate '{name}' already exists")
-    if not name.isidentifier():
-        raise ValueError(f"invalid gate name '{name}'")
-    if callable(matrix_or_fn):
-        if num_qubits is None:
-            raise ValueError("num_qubits required for parameterized gates")
-        k = int(num_qubits)
-        # Probe the builder once so a malformed user gate fails at
-        # registration rather than silently corrupting amplitudes later
-        # (mirrors the fixed-matrix validation below).
-        probe = np.asarray(matrix_or_fn(0.0), dtype=np.complex128)
-        if probe.shape != (1 << k, 1 << k):
-            raise ValueError(
-                f"gate function returns shape {probe.shape}, expected "
-                f"{(1 << k, 1 << k)} for {k} qubit(s)"
-            )
-        if not np.allclose(
-            probe.conj().T @ probe, np.eye(1 << k), atol=1e-10
-        ):
-            raise ValueError("gate function does not return a unitary at 0.0")
-        _PARAM[name] = matrix_or_fn
-    else:
-        mat = np.asarray(matrix_or_fn, dtype=np.complex128)
-        dim = mat.shape[0]
-        if mat.shape != (dim, dim) or dim & (dim - 1):
-            raise ValueError("matrix must be square with power-of-2 dimension")
-        if not np.allclose(mat.conj().T @ mat, np.eye(dim), atol=1e-10):
-            raise ValueError("matrix is not unitary")
-        k = dim.bit_length() - 1
-        _FIXED[name] = mat
-        if np.allclose(mat, np.diag(np.diagonal(mat))):
-            global DIAGONAL_GATES
-            DIAGONAL_GATES = DIAGONAL_GATES | {name}
-    GATE_ARITY[name] = k
-    global GATE_NAMES, PARAM_GATES
-    GATE_NAMES = frozenset(GATE_ARITY)
-    PARAM_GATES = frozenset(_PARAM)
-    # circuit.py snapshots these at import; refresh its view
-    from . import circuit as _circuit_mod
 
-    _circuit_mod.GATE_ARITY = GATE_ARITY
-    _circuit_mod.GATE_NAMES = GATE_NAMES
-    _circuit_mod.PARAM_GATES = PARAM_GATES
+    Registration is process-global and thread-safe: the name becomes valid
+    in every Circuit built afterwards, in every thread. There is no
+    per-circuit scoping (circuit-local unitaries travel as a Gate's inline
+    ``matrix_bytes`` payload instead — see :class:`tpu_qsim.circuit.Gate`).
+    """
+    with _REGISTRY_LOCK:
+        if name in GATE_ARITY:
+            raise ValueError(f"gate '{name}' already exists")
+        if not name.isidentifier():
+            raise ValueError(f"invalid gate name '{name}'")
+        if callable(matrix_or_fn):
+            if num_qubits is None:
+                raise ValueError("num_qubits required for parameterized gates")
+            k = int(num_qubits)
+            # Probe the builder once so a malformed user gate fails at
+            # registration rather than silently corrupting amplitudes later
+            # (mirrors the fixed-matrix validation below).
+            probe = np.asarray(matrix_or_fn(0.0), dtype=np.complex128)
+            if probe.shape != (1 << k, 1 << k):
+                raise ValueError(
+                    f"gate function returns shape {probe.shape}, expected "
+                    f"{(1 << k, 1 << k)} for {k} qubit(s)"
+                )
+            if not np.allclose(
+                probe.conj().T @ probe, np.eye(1 << k), atol=1e-10
+            ):
+                raise ValueError("gate function does not return a unitary at 0.0")
+            _PARAM[name] = matrix_or_fn
+            PARAM_GATES.add(name)
+        else:
+            mat = np.asarray(matrix_or_fn, dtype=np.complex128)
+            dim = mat.shape[0]
+            if mat.shape != (dim, dim) or dim & (dim - 1):
+                raise ValueError("matrix must be square with power-of-2 dimension")
+            if not np.allclose(mat.conj().T @ mat, np.eye(dim), atol=1e-10):
+                raise ValueError("matrix is not unitary")
+            k = dim.bit_length() - 1
+            _FIXED[name] = mat
+            if np.allclose(mat, np.diag(np.diagonal(mat))):
+                DIAGONAL_GATES.add(name)
+        GATE_ARITY[name] = k
+        GATE_NAMES.add(name)
 
 
 @lru_cache(maxsize=4096)
@@ -294,3 +294,16 @@ def gate_matrix(name: str, param: float | None = None) -> np.ndarray:
             raise ValueError(f"gate '{name}' requires a parameter")
         return _cached_param_matrix(name, float(param))
     raise ValueError(f"unknown gate '{name}'")
+
+
+def op_matrix(gate) -> np.ndarray:
+    """Complex128 unitary for a circuit :class:`~tpu_qsim.circuit.Gate` op.
+
+    A gate carrying an inline ``matrix_bytes`` payload (circuit-local
+    unitaries, e.g. the adjoints Circuit.inverse() builds for registered
+    gates) resolves to that payload; every named gate resolves through the
+    registry. All execution backends go through this accessor."""
+    m = getattr(gate, "matrix", None)
+    if m is not None:
+        return m
+    return gate_matrix(gate.name, gate.param)

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..circuit import Circuit
-from ..gates import gate_matrix
+from ..gates import op_matrix
 
 LANE_BITS = 7          # qubits 0..6 live on the 128-lane axis
 LANES = 1 << LANE_BITS
@@ -861,7 +861,7 @@ def as_pgates(gates) -> list[PGate]:
         else:
             out.append(
                 PGate(
-                    gate_matrix(g.name, g.param).astype(np.complex128),
+                    op_matrix(g).astype(np.complex128),
                     g.qubits,
                     qubit_classes(g),
                 )

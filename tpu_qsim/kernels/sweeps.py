@@ -55,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..circuit import Circuit, Gate
-from ..gates import gate_matrix
+from ..gates import op_matrix
 from .fused_circuit import (
     LANE_BITS,
     _controlled_split,
@@ -142,7 +142,7 @@ def plan_sweeps(
     max_tops = min(MAX_ACTIVE_TOPS, params.k_bits)
     gates: list[Gate] = []
     for g in circuit.gates:
-        mv = moving_qubits(gate_matrix(g.name, g.param), g.qubits)
+        mv = moving_qubits(op_matrix(g), g.qubits)
         if mv & top and mv & lowmid:
             if g.name == "swap":
                 a, b = g.qubits
@@ -166,7 +166,7 @@ def plan_sweeps(
         gates.append(g)
 
     mv_cache = [
-        moving_qubits(gate_matrix(g.name, g.param), g.qubits) for g in gates
+        moving_qubits(op_matrix(g), g.qubits) for g in gates
     ]
 
     def fits(i: int, cur: Sweep) -> bool:

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field, replace
 import numpy as np
 
 from .circuit import Circuit, Gate
-from .gates import gate_matrix
+from .gates import op_matrix
 
 SWAP_MIN = 7  # lowest physical bit a permutation may touch
 
@@ -272,7 +272,7 @@ def plan_blockswap_segments(
             for j, v in enumerate(victims):
                 place.swap_bits(v, local_bits + j)
         gates = [
-            (gate_matrix(g.name, g.param),
+            (op_matrix(g),
              tuple(place.pos[q] for q in g.qubits))
             for g in pending
         ]

@@ -71,7 +71,7 @@ def build_parameterized_run_fn(
     does not apply.
     """
     from . import gates_jax
-    from .gates import gate_matrix
+    from .gates import op_matrix
 
     plan = []  # ("const", qubits, diag, ur, ui) | ("param", name, qubits, idx)
     pi = 0
@@ -90,7 +90,7 @@ def build_parameterized_run_fn(
                 f"(use run() for circuits with custom parameterized gates)"
             )
         else:
-            mat = gate_matrix(g.name)
+            mat = op_matrix(g)
             from .gates import DIAGONAL_GATES
 
             diag = g.name in DIAGONAL_GATES
