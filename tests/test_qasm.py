@@ -209,3 +209,28 @@ class TestEndToEnd:
         p = tmp_path / "bell.qasm"
         p.write_text(to_qasm(q.bell_circuit()))
         _assert_same_state(q.bell_circuit(), from_qasm_file(str(p)))
+
+
+class TestAdviceRegressions:
+    """Round-4 advisor findings (ADVICE.md): NumPy-scalar params, builtin U,
+    division-by-zero angles."""
+
+    def test_numpy_scalar_param_exports_valid_qasm(self):
+        c = q.Circuit(1).rx(0, np.float64(0.5))
+        text = to_qasm(c)
+        assert "np.float64" not in text
+        _assert_same_state(c, from_qasm(text))
+
+    def test_builtin_uppercase_U_imports(self):
+        src = (
+            "OPENQASM 2.0;\nqreg q[1];\n"
+            "U(0.3,0.1,0.2) q[0];\n"
+        )
+        c = from_qasm(src)
+        # same decomposition as lowercase u3
+        c2 = from_qasm(src.replace("U(", "u3("))
+        assert c.signature() == c2.signature()
+
+    def test_zero_division_angle_raises_valueerror(self):
+        with pytest.raises(ValueError, match="division by zero"):
+            from_qasm("OPENQASM 2.0;\nqreg q[1];\nrx(1/0) q[0];")

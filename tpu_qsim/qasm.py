@@ -10,8 +10,8 @@ reference include/Circuit.hpp:91-122).
 Supported statements
     ``OPENQASM 2.0;`` header, ``include`` (ignored), multiple ``qreg``
     declarations (flattened, in declaration order), ``creg`` declarations
-    (tracked only for ``measure`` validation), ``barrier`` (a no-op on a
-    state-vector simulator), gate applications with qelib1 names, and
+    (accepted and ignored -- a state-vector circuit has no classical
+    registers), ``barrier`` (a no-op on a state-vector simulator), gate applications with qelib1 names, and
     whole-register broadcast (``h q;`` applies H to every qubit of ``q``).
 
 Gate-name mapping (qelib1 -> tpu_qsim)
@@ -89,7 +89,10 @@ def _eval_angle(text: str) -> float:
             v = ev(n.operand)
             return -v if isinstance(n.op, ast.USub) else v
         raise ValueError(f"unsupported QASM angle expression: {text!r}")
-    return ev(node)
+    try:
+        return ev(node)
+    except ZeroDivisionError as e:
+        raise ValueError(f"division by zero in QASM angle: {text!r}") from e
 
 
 _NAME = re.compile(r"^(?P<name>[A-Za-z_][A-Za-z_0-9]*)\s*(?P<rest>.*)$")
@@ -129,7 +132,6 @@ def from_qasm(text: str, *, ignore_measurements: bool = False) -> Circuit:
     stmts = [s.strip() for s in src.replace("\n", " ").split(";") if s.strip()]
 
     regs: dict[str, tuple[int, int]] = {}  # name -> (offset, size)
-    cregs: set[str] = set()
     total = 0
     ops: list[tuple[str, tuple[int, ...], float | None]] = []
 
@@ -151,8 +153,6 @@ def from_qasm(text: str, *, ignore_measurements: bool = False) -> Circuit:
                     raise ValueError(f"duplicate qreg {name!r}")
                 regs[name] = (total, size)
                 total += size
-            else:
-                cregs.add(name)
             continue
         if head == "barrier":
             continue
@@ -171,7 +171,7 @@ def from_qasm(text: str, *, ignore_measurements: bool = False) -> Circuit:
         if parts is None:
             raise ValueError(f"cannot parse QASM statement: {stmt!r}")
         qname, raw_params, raw_args = parts
-        if qname not in _IMPORT and qname not in ("u", "u2", "u3"):
+        if qname not in _IMPORT and qname not in ("u", "u2", "u3", "U"):
             raise ValueError(f"unsupported QASM gate: {qname!r}")
         params = [_eval_angle(p) for p in raw_params.split(",") if p.strip()]
 
@@ -199,7 +199,7 @@ def from_qasm(text: str, *, ignore_measurements: bool = False) -> Circuit:
             raise ValueError(f"mismatched register sizes in: {stmt!r}")
 
         for qubits in zip(*cols):
-            if qname in ("u", "u3", "u2"):
+            if qname in ("u", "u3", "u2", "U"):
                 if qname == "u2":
                     if len(params) != 2:
                         raise ValueError(f"u2 takes 2 parameters: {stmt!r}")
@@ -262,7 +262,9 @@ def to_qasm(circuit: Circuit) -> str:
             raise ValueError(f"gate {g.name!r} has no OpenQASM 2.0 spelling")
         spelled = _EXPORT.get(g.name, g.name)
         if g.name in PARAM_GATES:
-            lines.append(f"{spelled}({g.param!r}) {args};")
+            # float() strips NumPy scalar types whose repr ('np.float64(x)')
+            # is not a QASM expression
+            lines.append(f"{spelled}({float(g.param)!r}) {args};")
         else:
             lines.append(f"{spelled} {args};")
     return "\n".join(lines) + "\n"

@@ -17,6 +17,12 @@ for — while the API mirrors the simulator families (``run`` / ``sample`` /
 (GHZ/graph-state prep, syndrome extraction, shadow snapshots) slot into the
 same harnesses.
 
+Width note: ``run()`` consumes a :class:`~tpu_qsim.Circuit`, which is capped
+at ``MAX_QUBITS=30`` (the cap protects the amplitude engines; the IR shares
+it). Registers wider than 30 qubits are driven through ``apply_gate``
+directly — see the 500-qubit GHZ test (tests/test_stabilizer.py) for the
+pattern.
+
 Supported gates: i x y z h s sdg cnot cz swap (the Clifford subset of
 :mod:`tpu_qsim.gates`). Non-Clifford gates raise ``ValueError`` naming the
 offender — use a state-vector simulator for those circuits.
@@ -88,9 +94,13 @@ class StabilizerSimulator:
         return self.x.nbytes + self.z.nbytes + self.r.nbytes
 
     def copy(self) -> "StabilizerSimulator":
+        """Independent copy: same tableau, its own (spawned) RNG stream so
+        measurements on the copy neither advance nor correlate with the
+        original's stream. (sample() overrides the scratch copy's RNG with
+        its own per-call stream.)"""
         c = StabilizerSimulator.__new__(StabilizerSimulator)
         c.num_qubits = self.num_qubits
-        c._rng = self._rng  # shared stream: copies are sampling scratch
+        c._rng = self._rng.spawn(1)[0]
         c.x, c.z, c.r = self.x.copy(), self.z.copy(), self.r.copy()
         return c
 
