@@ -693,6 +693,18 @@ CTRL_SLAB_SLICE = False
 #            blends alone (the W factors are emitted unmerged here).
 DIAG_CTRL: bool | str = False
 
+# Matricized-tile emission (round-4 VERDICT item 2): cluster dense/controlled
+# gates into <= MATRICIZE-bit groups, swap the group's bits into lane
+# positions (tracked as a running bit-placement permutation; placement is
+# restored before kernel exit), and let the window planner fold each group
+# into ONE (R,128)@(128,128) MXU contraction — fused groups as the emission
+# unit, with no per-gate relayout (the swaps are the per-GROUP relayout and
+# amortize over the group's members). 0 = off. Set to a group bit width
+# (4-7) to enable; MATRICIZE_MIN gates the flush (clusters below it emit as
+# plain singles at their current placement).
+MATRICIZE: int = 0
+MATRICIZE_MIN: int = 3
+
 
 def diagonalize_controlled(
     pgates: list[PGate], only_ext_base: int | None = None
@@ -928,6 +940,132 @@ def merge_1q_chains(pgates: list[PGate]) -> list[PGate]:
         if len(g.qubits) == 1:
             open_1q[g.qubits[0]] = len(out) - 1
     return [g for g in out if g is not None]
+
+
+def matricize_pgates(
+    pgates: list[PGate],
+    n_bits: int,
+    k_bits: int = 5,
+    min_gates: int = 3,
+) -> list[PGate]:
+    """Matricized-tile rewrite: route dense-gate clusters onto the lane axis.
+
+    Maintains a bit-placement permutation (logical kernel bit -> physical
+    position). Dense/controlled gates whose bits all live in-kernel are
+    greedily clustered while their union stays within ``k_bits`` distinct
+    bits; at flush, the cluster's bits are swapped into lane positions
+    (explicit SWAP gates — the per-GROUP relayout) and the members emit as
+    lane-qubit gates, which the window planner downstream composes into one
+    (R,128)@(128,128) MXU contraction. Diagonal gates ride along free when
+    their bits are already cluster-resident; everything else (ext-involving
+    gates, diagonals on foreign bits) passes through at its current
+    placement. Placement is restored to identity before return, so the
+    transform is a drop-in exact rewrite (same unitary to f64 composition
+    accuracy) validated by the interpret-mode differential tests.
+
+    This is the round-4 experiment mandated by the VERDICT: fused groups as
+    MXU matmuls with no per-gate relayout. Whether the group relayout
+    (swaps) + matmul beats the per-gate VPU blend emission is decided by
+    on-chip A/B (docs/PERF_NOTES.md §16), not by this code.
+    """
+    from ..commute import FrontierScheduler
+
+    k_bits = min(k_bits, LANE_BITS)
+    pos = list(range(n_bits))           # logical bit -> physical position
+    at = list(range(n_bits))            # physical position -> logical bit
+    out: list[PGate] = []
+
+    def remap(g: PGate) -> PGate:
+        qs = tuple(pos[q] if q < n_bits else q for q in g.qubits)
+        return PGate(g.u, qs, g.classes)
+
+    def swap_phys(a: int, b: int) -> None:
+        out.append(PGate(_SWAP_U, (a, b), matrix_classes(_SWAP_U, (a, b))))
+        la, lb = at[a], at[b]
+        at[a], at[b] = lb, la
+        pos[la], pos[lb] = b, a
+
+    cluster: list[PGate] = []
+    cbits: set[int] = set()
+
+    def flush() -> None:
+        nonlocal cluster, cbits
+        if not cluster:
+            return
+        if len(cluster) < min_gates:
+            out.extend(remap(g) for g in cluster)
+        else:
+            need = [b for b in sorted(cbits) if pos[b] >= LANE_BITS]
+            free = [p for p in range(LANE_BITS) if at[p] not in cbits]
+            for b, p in zip(need, free):
+                swap_phys(pos[b], p)
+            # all cluster bits now sit in lanes: members emit as lane-class
+            # gates and the window planner folds them into one matmul
+            out.extend(remap(g) for g in cluster)
+        cluster, cbits = [], set()
+
+    def kernel_bits(g: PGate) -> set[int]:
+        return {q for q in g.qubits if q < n_bits}
+
+    def passthrough(g: PGate) -> bool:
+        return _is_diagonal(g.u) or any(q >= EXT_BASE for q in g.qubits)
+
+    sched = FrontierScheduler(list(pgates))
+    while not sched.done():
+        ready = sched.ready()
+        pick_ext = pick_free = pick_new = None
+        for i in ready:
+            g = sched.gates[i]
+            bits = kernel_bits(g)
+            if passthrough(g):
+                if _is_diagonal(g.u) and cluster and bits and bits <= cbits:
+                    # a diagonal on cluster-resident bits folds into the
+                    # group matmul for free
+                    pick_ext = i
+                    break
+                if not (bits & cbits):
+                    # disjoint bits => commutes with every cluster member:
+                    # safe to place before the (later) flush
+                    if pick_free is None:
+                        pick_free = i
+                continue
+            if cluster and len(cbits | bits) <= k_bits:
+                pick_ext = i
+                break
+            if pick_new is None:
+                pick_new = i
+        if pick_ext is not None:
+            g = sched.gates[pick_ext]
+            sched.emit(pick_ext)
+            cluster.append(g)
+            cbits |= kernel_bits(g)
+            continue
+        if pick_free is not None:
+            g = sched.gates[pick_free]
+            sched.emit(pick_free)
+            out.append(remap(g))
+            continue
+        flush()
+        if pick_new is not None:
+            g = sched.gates[pick_new]
+            sched.emit(pick_new)
+            bits = kernel_bits(g)
+            if len(bits) <= k_bits and not passthrough(g):
+                cluster, cbits = [g], set(bits)
+            else:
+                out.append(remap(g))
+        else:
+            # only passthroughs blocked on the (now flushed) cluster remain
+            i = sched.ready()[0]
+            g = sched.gates[i]
+            sched.emit(i)
+            out.append(remap(g))
+    flush()
+    # restore placement to identity (kernel I/O layout is fixed)
+    for p in range(n_bits):
+        while at[p] != p:
+            swap_phys(p, pos[p])
+    return out
 
 
 def _split_controlled_1q(pg: PGate):
@@ -1181,6 +1319,10 @@ def materialize_ops(
         pgates = merge_1q_chains(pgates)
     if profile in REWRITE_PROFILES:
         pgates = _rewrite_windowable(pgates, n_bits, profile)
+    if MATRICIZE:
+        pgates = matricize_pgates(
+            pgates, n_bits, k_bits=MATRICIZE, min_gates=MATRICIZE_MIN
+        )
     # Ext-phase fusion: a diagonal gate whose qubits are ALL out-of-kernel
     # is lambda(ext) * I on the kernel state — it commutes with every kernel
     # op, so the whole set folds into ONE complex scalar multiply (vs ~6 VPU

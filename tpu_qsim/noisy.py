@@ -92,6 +92,103 @@ def _apply_general_kraus(
     return picked * jax.lax.rsqrt(norm).astype(state.dtype)
 
 
+# A channel covering this many qubits or more is applied as ONE lax.scan
+# layer (O(1) traced subgraphs) instead of per-qubit unrolled applications
+# (O(n) subgraphs per gate — a 26q circuit with one global channel used to
+# trace 2,600 channel subgraphs per 100 gates).
+GLOBAL_SCAN_MIN = 8
+
+
+def _rotate_bits_right(w: jax.Array) -> jax.Array:
+    """(2, 2^(n-1), 2) planes view: move bit 0 to the MSB position.
+
+    Flat index before: i = rest * 2 + bit0; after: i' = bit0 * 2^(n-1) +
+    rest — i.e. every bit q+1 becomes bit q and bit 0 becomes bit n-1. n
+    applications restore the original order."""
+    rest = w.shape[1]
+    return w.transpose(0, 2, 1).reshape(2, rest, 2)
+
+
+def _mix_layer_scan(
+    state: jax.Array,
+    key: jax.Array,
+    probs: np.ndarray,
+    urs: np.ndarray,
+    uis: np.ndarray | None,
+    n: int,
+) -> jax.Array:
+    """Global Pauli-mix channel on all n qubits as one scan.
+
+    Branch indices for every qubit are drawn in one categorical call, the
+    selected 2x2s in one tensordot; the scan body applies the step's matrix
+    to bit 0 and rotates the bit order right by one, so step t acts on
+    original qubit t and the layout is restored after n steps. The body is
+    qubit-independent — one traced subgraph per layer regardless of n."""
+    b = probs.shape[0]
+    logp = np.log(np.maximum(probs, 1e-30)).astype(np.float32)
+    idx = jax.random.categorical(key, jnp.asarray(logp), shape=(n,))
+    onehot = jax.nn.one_hot(idx, b, dtype=state.dtype)              # (n, B)
+    mrs = jnp.tensordot(onehot, jnp.asarray(urs), axes=(1, 0))      # (n,2,2)
+    zi = np.zeros_like(urs) if uis is None else uis
+    mis = jnp.tensordot(onehot, jnp.asarray(zi), axes=(1, 0))
+    mats = jnp.stack([mrs, mis], axis=1)                            # (n,2,2,2)
+
+    v = state.reshape(2, state.shape[-1] // 2, 2)
+
+    def body(w, m):
+        mr, mi = m[0], m[1]
+        wr, wi = w[0], w[1]
+        nr = wr @ mr.T - wi @ mi.T
+        ni = wr @ mi.T + wi @ mr.T
+        return _rotate_bits_right(jnp.stack([nr, ni])), None
+
+    v, _ = jax.lax.scan(body, v, mats)
+    return v.reshape(state.shape)
+
+
+def _kraus_layer_scan(
+    state: jax.Array,
+    key: jax.Array,
+    kraus: list[tuple[np.ndarray, np.ndarray | None]],
+    n: int,
+) -> jax.Array:
+    """Global general-Kraus (damping) channel on all n qubits as one scan.
+
+    Same bit-rotation body as the mix layer, but each step computes every
+    Kraus branch on bit 0, draws the branch with Born probability
+    ||K_b psi||^2 and renormalizes — the per-qubit math of
+    _apply_general_kraus, one traced subgraph per layer."""
+    kr = jnp.stack([k for k, _ in kraus])                           # (B,2,2)
+    ki = jnp.stack(
+        [np.zeros_like(kraus[0][0]) if k is None else k for _, k in kraus]
+    )
+    keys = jax.random.split(key, n)
+    v = state.reshape(2, state.shape[-1] // 2, 2)
+
+    def body(w, k):
+        wr, wi = w[0], w[1]
+        brs = jnp.einsum("rb,Bcb->Brc", wr, kr) - jnp.einsum(
+            "rb,Bcb->Brc", wi, ki
+        )
+        bis = jnp.einsum("rb,Bcb->Brc", wr, ki) + jnp.einsum(
+            "rb,Bcb->Brc", wi, kr
+        )
+        norms = jnp.sum(brs * brs + bis * bis, axis=(1, 2))         # (B,)
+        logp = jnp.log(jnp.maximum(norms, jnp.finfo(wr.dtype).tiny))
+        idx = jax.random.categorical(k, logp)
+        onehot = jax.nn.one_hot(idx, norms.shape[0], dtype=wr.dtype)
+        nr = jnp.tensordot(onehot, brs, axes=(0, 0))
+        ni = jnp.tensordot(onehot, bis, axes=(0, 0))
+        norm = jnp.maximum(
+            jnp.sum(onehot * norms), jnp.finfo(wr.dtype).tiny
+        )
+        scale = jax.lax.rsqrt(norm).astype(wr.dtype)
+        return _rotate_bits_right(jnp.stack([nr * scale, ni * scale])), None
+
+    v, _ = jax.lax.scan(body, v, keys)
+    return v.reshape(state.shape)
+
+
 def build_trajectory_step(
     circuit: Circuit,
     noise_model: NoiseModel | None,
@@ -102,11 +199,16 @@ def build_trajectory_step(
 
     Returns (step_fn, num_random_draws). The function is vmap/jit friendly;
     gate matrices and channel tables are baked in as NumPy constants.
+
+    Channels covering every qubit (global registrations) on circuits of
+    >= GLOBAL_SCAN_MIN qubits are applied as one scan layer per gate —
+    same math and same per-qubit application order, ~n x fewer traced ops.
     """
     if insertion not in ("all", "gate_qubits"):
         raise ValueError(
             f"insertion must be 'all' or 'gate_qubits', got {insertion!r}"
         )
+    n = circuit.num_qubits
     gate_consts = []
     for g in unfused_circuit(circuit):
         ur, ui = ap.split_matrix(g.diag if g.diagonal else g.matrix, rdtype)
@@ -114,19 +216,38 @@ def build_trajectory_step(
 
     noise_apps: list[tuple[Any, ...]] = []
     if noise_model is not None and noise_model.has_noise():
-        for ntype, q, p in noise_model.applications_per_gate(circuit.num_qubits):
+        for c in noise_model.channels:
+            p = c.probability
             if p == 0.0:
                 continue
-            if ntype in UNITARY_MIX_TYPES:
-                probs, us = unitary_mix(ntype, p)
+            qs = c.resolved_qubits(n)
+            # the scan layer covers all qubits at once, which is only
+            # equivalent under the "all" insertion policy ("gate_qubits"
+            # filters applications per gate)
+            as_scan = (
+                insertion == "all"
+                and len(qs) == n
+                and n >= GLOBAL_SCAN_MIN
+            )
+            if c.type in UNITARY_MIX_TYPES:
+                probs, us = unitary_mix(c.type, p)
                 urs = us.real.astype(rdtype)
                 uis = us.imag.astype(rdtype) if np.any(us.imag != 0) else None
-                noise_apps.append(("mix", q, probs, urs, uis))
+                if as_scan:
+                    noise_apps.append(("mix_scan", None, probs, urs, uis))
+                else:
+                    for q in qs:
+                        noise_apps.append(("mix", q, probs, urs, uis))
             else:
                 kraus = [
-                    ap.split_matrix(k, rdtype) for k in kraus_operators(ntype, p)
+                    ap.split_matrix(k, rdtype)
+                    for k in kraus_operators(c.type, p)
                 ]
-                noise_apps.append(("kraus", q, kraus))
+                if as_scan:
+                    noise_apps.append(("kraus_scan", None, kraus))
+                else:
+                    for q in qs:
+                        noise_apps.append(("kraus", q, kraus))
 
     # Insertion policy (see NoiseModel docstring): "all" fires every
     # registered application after every gate (reference NoisySimulator,
@@ -155,6 +276,12 @@ def build_trajectory_step(
                 if app[0] == "mix":
                     _, q, probs, urs, uis = app
                     state = _apply_unitary_mix(state, keys[ki], probs, urs, uis, q)
+                elif app[0] == "mix_scan":
+                    _, _, probs, urs, uis = app
+                    state = _mix_layer_scan(state, keys[ki], probs, urs, uis, n)
+                elif app[0] == "kraus_scan":
+                    _, _, kraus = app
+                    state = _kraus_layer_scan(state, keys[ki], kraus, n)
                 else:
                     _, q, kraus = app
                     state = _apply_general_kraus(state, keys[ki], kraus, q)
