@@ -247,10 +247,15 @@ def _bench_row(n: int) -> dict:
     x = ap.initial_state(n, np.float32)
 
     if n >= 28:
-        # 28q: the 4 GB complex128 oracle is not feasible on this host;
-        # certify via the inverse round-trip instead (U then U-dagger must
-        # restore |0...0> exactly up to f32 rounding — conjugate-transpose
-        # inverses leave no global phase), entirely on device.
+        # 28q: the 4 GB complex128 oracle is not feasible on this host.
+        # Two DE-CORRELATED certifications (round-4 VERDICT item 4):
+        # (a) inverse round-trip — U then U-dagger restores |0...0>
+        #     (catches per-engine inversion errors);
+        # (b) cross-engine differential — the same circuit through the
+        #     Pallas-free XLA fusion engine, full-state max|diff| on
+        #     device (catches adjoint-consistent systematic emission bugs
+        #     the round-trip is blind to — proven by fault injection in
+        #     tests/test_certify.py).
         inv = maybe_build_pallas_circuit_run(
             circuit.inverse(), np.float32, SimConfig(dtype="complex64")
         )
@@ -259,6 +264,15 @@ def _bench_row(n: int) -> dict:
         rest = jnp.max(jnp.abs(z.at[:, 0].set(0.0)))
         err = max(abs(amp0 - 1.0), float(rest))
         del z
+        from tpu_qsim.fusion import fuse_circuit
+        from tpu_qsim.statevector import build_xla_run_fn
+
+        xla_fn = build_xla_run_fn(fuse_circuit(circuit, 5), np.float32, False)
+        a = inner(x)
+        b = xla_fn(x)
+        xdiff = float(jax.jit(lambda p, q: jnp.max(jnp.abs(p - q)))(a, b))
+        del a, b
+        err = max(err, xdiff)
     else:
         # on-chip fidelity vs the complex128 oracle (full-state readback)
         y = inner(x)
