@@ -10,7 +10,10 @@ global phase is aligned (Cirq drops global phase in some gate
 decompositions).
 
 Run: python validation/validate_against_cirq.py
-Exit 0 = all match (or cirq missing -> falls back to analytic tables).
+Exit 0 = all match. Without cirq installed, the comparison runs against
+the vendored amplitude-fixture pack (validation/fixtures/
+cirq_fixtures.npz — see generate_cirq_fixtures.py for provenance) AND the
+analytic convention tables; both must pass.
 """
 
 from __future__ import annotations
@@ -85,14 +88,43 @@ def aligned_max_diff(a: np.ndarray, b: np.ndarray) -> float:
     return max_amplitude_error(a, b, up_to_phase=True)
 
 
+def run_fixture_pack(tol: float = 1e-9) -> int:
+    """Compare OUR amplitudes against the vendored fixture pack (all 67
+    corpus cases), in Cirq's basis ordering."""
+    from generate_cirq_fixtures import FIXTURE_PATH, corpus
+
+    import tpu_qsim as q
+
+    pack = np.load(FIXTURE_PATH)
+    print(f"fixture pack: {pack['__provenance__']}")
+    failures = 0
+    worst = 0.0
+    for name, n, gates in corpus():
+        c = q.Circuit(n)
+        for gname, qubits, param in gates:
+            c.add(gname, *qubits, param=param)
+        diff = aligned_max_diff(our_state_big_endian(c), pack[name])
+        worst = max(worst, diff)
+        if diff >= tol:
+            failures += 1
+            print(f"FAIL  {name:16s} max|diff|={diff:.2e}")
+    print(
+        f"{67 - failures}/67 fixture cases passed "
+        f"(worst max|diff| = {worst:.2e})"
+    )
+    return 1 if failures else 0
+
+
 def run(tol: float = 1e-9) -> int:
     try:
         import cirq  # noqa: F401
     except ImportError:
-        print("cirq not installed - running analytic convention tables instead")
+        print("cirq not installed - comparing against the vendored fixture "
+              "pack + analytic convention tables")
+        rc = run_fixture_pack(tol)
         from validate_conventions import run as run_conv
 
-        return run_conv()
+        return rc or run_conv()
 
     import tpu_qsim as q
 
