@@ -704,6 +704,10 @@ DIAG_CTRL: bool | str = False
 # plain singles at their current placement).
 MATRICIZE: int = 0
 MATRICIZE_MIN: int = 3
+# When not None, matricize_pgates appends (gates_in, gates_out, swaps,
+# clusters_matmulled) per call — plan introspection for tests and the
+# on-chip A/B harness.
+MATRICIZE_STATS: list | None = None
 
 
 def diagonalize_controlled(
@@ -974,12 +978,16 @@ def matricize_pgates(
     pos = list(range(n_bits))           # logical bit -> physical position
     at = list(range(n_bits))            # physical position -> logical bit
     out: list[PGate] = []
+    n_swaps = 0
+    n_matmul_clusters = 0
 
     def remap(g: PGate) -> PGate:
         qs = tuple(pos[q] if q < n_bits else q for q in g.qubits)
         return PGate(g.u, qs, g.classes)
 
     def swap_phys(a: int, b: int) -> None:
+        nonlocal n_swaps
+        n_swaps += 1
         out.append(PGate(_SWAP_U, (a, b), matrix_classes(_SWAP_U, (a, b))))
         la, lb = at[a], at[b]
         at[a], at[b] = lb, la
@@ -995,6 +1003,8 @@ def matricize_pgates(
         if len(cluster) < min_gates:
             out.extend(remap(g) for g in cluster)
         else:
+            nonlocal n_matmul_clusters
+            n_matmul_clusters += 1
             need = [b for b in sorted(cbits) if pos[b] >= LANE_BITS]
             free = [p for p in range(LANE_BITS) if at[p] not in cbits]
             for b, p in zip(need, free):
@@ -1014,6 +1024,7 @@ def matricize_pgates(
     while not sched.done():
         ready = sched.ready()
         pick_ext = pick_free = pick_new = None
+        best_ext = best_new = None
         for i in ready:
             g = sched.gates[i]
             bits = kernel_bits(g)
@@ -1022,6 +1033,7 @@ def matricize_pgates(
                     # a diagonal on cluster-resident bits folds into the
                     # group matmul for free
                     pick_ext = i
+                    best_ext = 0
                     break
                 if not (bits & cbits):
                     # disjoint bits => commutes with every cluster member:
@@ -1029,11 +1041,20 @@ def matricize_pgates(
                     if pick_free is None:
                         pick_free = i
                 continue
+            # locality-aware selection: swaps are the cost, so prefer the
+            # extender adding fewest NEW bits to the cluster, and seed new
+            # clusters from the gate with most bits already lane-resident
             if cluster and len(cbits | bits) <= k_bits:
-                pick_ext = i
-                break
-            if pick_new is None:
-                pick_new = i
+                new_bits = len(bits - cbits)
+                if best_ext is None or new_bits < best_ext:
+                    pick_ext, best_ext = i, new_bits
+                    if new_bits == 0:
+                        break
+                continue
+            resident = sum(1 for b in bits if pos[b] < LANE_BITS)
+            score = resident - len(bits)
+            if best_new is None or score > best_new:
+                pick_new, best_new = i, score
         if pick_ext is not None:
             g = sched.gates[pick_ext]
             sched.emit(pick_ext)
@@ -1065,6 +1086,10 @@ def matricize_pgates(
     for p in range(n_bits):
         while at[p] != p:
             swap_phys(p, pos[p])
+    if MATRICIZE_STATS is not None:
+        MATRICIZE_STATS.append(
+            (len(pgates), len(out), n_swaps, n_matmul_clusters)
+        )
     return out
 
 
