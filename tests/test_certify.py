@@ -120,3 +120,113 @@ class TestFaultInjection:
             buggy = qft_analytic_max_diff(13, interpret=True, grid_params=P)
         assert healthy < 5e-6
         assert buggy > 1e-2, f"injected bug not caught: {buggy}"
+
+
+from tpu_qsim.certify import (  # noqa: E402  (round-4 additions)
+    diag_layer_analytic_max_diff,
+    permutation_analytic_max_dev,
+)
+
+
+class TestClosedFormChecks:
+    """The bench-grade 28q+ analytic checks, pinned at test scale."""
+
+    def test_diag_check_grid_engine(self):
+        """The grid engine (interpret mode) agrees with the closed form —
+        pins the qubits[0]=MSB convention the formula assumes."""
+        d = diag_layer_analytic_max_diff(12, interpret=True, grid_params=P)
+        assert d < 5e-6, d
+
+    def test_diag_check_rejects_identity_engine(self):
+        """|0...0> is far from the uniform-phase closed form, so a do-
+        nothing engine cannot slip through."""
+        d = diag_layer_analytic_max_diff(12, run_fn=lambda x: x)
+        assert d > 1e-2, d
+
+    def test_permutation_check_grid_engine(self):
+        d = permutation_analytic_max_dev(13, interpret=True, grid_params=P)
+        assert d < 5e-6, d
+
+    def test_permutation_check_rejects_identity_engine(self):
+        d = permutation_analytic_max_dev(13, run_fn=lambda x: x)
+        assert d > 0.5  # |0...0> is far from the predicted basis vector
+
+
+class _QubitOrderBug:
+    """Inject a pair-ADDRESSING bug into the grid engine: every 2q gate's
+    qubit tuple (and aligned classes) is reversed while the matrix stays —
+    control/target of CNOT swap, dense 2q gates transpose their axes.
+    Adjoint-consistent (the inverse engine mis-addresses identically) and
+    phase-free on symmetric diagonals (cz/cp), so both the round-trip AND
+    the diagonal-phase check are structurally blind to it."""
+
+    def __enter__(self):
+        import tpu_qsim.kernels.fused_circuit as fc
+        import tpu_qsim.kernels.gridsweeps as gs
+
+        self._orig = gs.materialize_ops
+
+        def flip(gates, *a, **kw):
+            out = []
+            for g in gates:
+                if len(g.qubits) == 2:
+                    g = fc.PGate(
+                        g.u,
+                        (g.qubits[1], g.qubits[0]),
+                        tuple(reversed(tuple(g.classes))),
+                    )
+                out.append(g)
+            return self._orig(out, *a, **kw)
+
+        gs.materialize_ops = flip
+        return self
+
+    def __exit__(self, *exc):
+        import tpu_qsim.kernels.gridsweeps as gs
+
+        gs.materialize_ops = self._orig
+        return False
+
+
+class TestClosedFormFaultInjection:
+    def test_diag_check_catches_conjugation(self):
+        healthy = diag_layer_analytic_max_diff(13, interpret=True, grid_params=P)
+        with _ConjugatingEmission():
+            buggy = diag_layer_analytic_max_diff(13, interpret=True, grid_params=P)
+        assert healthy < 5e-6
+        assert buggy > 1e-2, f"injected conjugation not caught: {buggy}"
+
+    def test_permutation_check_catches_addressing_bug(self):
+        healthy = permutation_analytic_max_dev(13, interpret=True, grid_params=P)
+        with _QubitOrderBug():
+            buggy = permutation_analytic_max_dev(13, interpret=True, grid_params=P)
+        assert healthy < 5e-6
+        assert buggy > 0.5, f"injected addressing bug not caught: {buggy}"
+
+    def test_round_trip_is_blind_to_addressing_bug(self):
+        """CNOT/SWAP/X are self-adjoint-consistent under the qubit-order
+        flip, so U then U-dagger still restores |0...0> exactly — the
+        round-trip cannot see what the permutation check catches."""
+        from tpu_qsim.kernels.gridsweeps import build_grid_sweep_run
+
+        c = q.Circuit(13)
+        rng = np.random.default_rng(12)
+        for _ in range(24):
+            kind = int(rng.integers(0, 3))
+            if kind == 0:
+                c.x(int(rng.integers(0, 13)))
+            elif kind == 1:
+                a_, b_ = (int(v) for v in rng.choice(13, size=2, replace=False))
+                c.cnot(a_, b_)
+            else:
+                a_, b_ = (int(v) for v in rng.choice(13, size=2, replace=False))
+                c.swap(a_, b_)
+        with _QubitOrderBug():
+            fwd = build_grid_sweep_run(c, np.float32, interpret=True, params=P)
+            inv = build_grid_sweep_run(
+                c.inverse(), np.float32, interpret=True, params=P
+            )
+            x = ap.initial_state(13, np.float32)
+            y = np.asarray(ap.to_complex(inv.run(fwd.run(x))))
+        assert abs(y[0] - 1.0) < 1e-5
+        assert np.abs(y[1:]).max() < 1e-5

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from . import apply as ap
 from .circuit import Circuit, qft_circuit
 
-__all__ = ["cross_engine_max_diff", "qft_analytic_max_diff"]
+__all__ = ["cross_engine_max_diff", "qft_analytic_max_diff", "diag_layer_analytic_max_diff", "permutation_analytic_max_dev"]
 
 
 def cross_engine_max_diff(
@@ -113,3 +113,133 @@ def qft_analytic_max_diff(
     got = np.asarray(gr).astype(np.float64) + 1j * np.asarray(gi)
     want = _qft_reference_amps(n, k, idx)
     return float(np.max(np.abs(got - want)))
+
+
+def diag_layer_analytic_max_diff(
+    n: int,
+    *,
+    seed: int = 11,
+    num_gates: int = 24,
+    num_samples: int = 4096,
+    run_fn=None,
+    interpret: bool = False,
+    grid_params=None,
+) -> float:
+    """Max |amplitude - closed form| for an H-layer + random-diagonal
+    circuit, at a deterministic sample of flat indices.
+
+    The circuit is H on every qubit followed by ``num_gates`` random
+    diagonal gates (rz / cp / cz / t), so the exact state has
+    amp_j = (1/sqrt(2^n)) * prod_g diag(U_g)[j restricted to g.qubits] —
+    evaluated host-side in complex128 straight from the gate tables
+    (library convention: qubits[0] = matrix-index MSB, see
+    CPUReferenceSimulator.apply_matrix), with NO simulator in the loop.
+    Catches phase/sign emission bugs — including the adjoint-consistent
+    conjugation class the inverse round-trip is blind to
+    (tests/test_certify.py) — at sizes where the complex128 oracle is
+    infeasible, and costs only ~n + num_gates gates of engine compile
+    (a full QFT at 28q would be ~420).
+    """
+    from .gates import op_matrix
+
+    rng = np.random.default_rng(seed)
+    c = Circuit(n)
+    for qb in range(n):
+        c.h(qb)
+    for _ in range(num_gates):
+        kind = int(rng.integers(0, 4))
+        if kind == 0:
+            c.rz(int(rng.integers(0, n)), float(rng.uniform(0, 2 * math.pi)))
+        elif kind == 1:
+            a_, b_ = (int(v) for v in rng.choice(n, size=2, replace=False))
+            c.cp(a_, b_, float(rng.uniform(0, 2 * math.pi)))
+        elif kind == 2:
+            a_, b_ = (int(v) for v in rng.choice(n, size=2, replace=False))
+            c.cz(a_, b_)
+        else:
+            c.t(int(rng.integers(0, n)))
+    if run_fn is None:
+        from .kernels.gridsweeps import build_grid_sweep_run
+
+        run_fn = build_grid_sweep_run(
+            c, np.float32, interpret=interpret, params=grid_params
+        ).run
+
+    x = ap.initial_state(n, np.float32)
+    y = run_fn(x)
+    step = max(1, (1 << n) // num_samples)
+    idx = np.arange(0, 1 << n, step, dtype=np.int64)
+    take = jax.jit(lambda s: (s[0, idx], s[1, idx]))
+    gr, gi = take(y)
+    del y
+    got = np.asarray(gr).astype(np.float64) + 1j * np.asarray(gi)
+
+    want = np.full(idx.shape, 1.0 / math.sqrt(1 << n), dtype=np.complex128)
+    for g in list(c)[n:]:
+        d = np.diagonal(op_matrix(g))
+        k = len(g.qubits)
+        sub = np.zeros(idx.shape, dtype=np.int64)
+        for pos, qb in enumerate(g.qubits):
+            sub |= ((idx >> qb) & 1) << (k - 1 - pos)
+        want = want * d[sub]
+    return float(np.max(np.abs(got - want)))
+
+
+def permutation_analytic_max_dev(
+    n: int,
+    *,
+    seed: int = 12,
+    num_gates: int = 32,
+    run_fn=None,
+    interpret: bool = False,
+    grid_params=None,
+) -> float:
+    """Run a random X/CNOT/SWAP program from |0...0> and check the full
+    state equals the basis vector a host-side bit trace predicts.
+
+    Permutation circuits keep the state a single basis vector, so the
+    engine's amplitude-MOVEMENT machinery (pair addressing, lane rolls,
+    row-block flips, sweep staging across high bits) is exercised at full
+    width against a closed-form answer: amp[k*] = 1, everything else 0.
+    Complements :func:`diag_layer_analytic_max_diff` (phases) — together
+    the two cover the H/X/CNOT/Rz benchmark gate classes. Returns
+    max(|amp[k*] - 1|, max |amp| elsewhere), computed on device with a
+    fused where-iota reduction (no full-state copy; 29-30q states are
+    donated-in-place scale).
+    """
+    rng = np.random.default_rng(seed)
+    c = Circuit(n)
+    bits = 0
+    for _ in range(num_gates):
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            qb = int(rng.integers(0, n))
+            c.x(qb)
+            bits ^= 1 << qb
+        elif kind == 1:
+            a_, b_ = (int(v) for v in rng.choice(n, size=2, replace=False))
+            c.cnot(a_, b_)
+            if (bits >> a_) & 1:
+                bits ^= 1 << b_
+        else:
+            a_, b_ = (int(v) for v in rng.choice(n, size=2, replace=False))
+            c.swap(a_, b_)
+            if ((bits >> a_) & 1) != ((bits >> b_) & 1):
+                bits ^= (1 << a_) | (1 << b_)
+    if run_fn is None:
+        from .kernels.gridsweeps import build_grid_sweep_run
+
+        run_fn = build_grid_sweep_run(
+            c, np.float32, interpret=interpret, params=grid_params
+        ).run
+
+    x = ap.initial_state(n, np.float32)
+    y = run_fn(x)
+
+    def summarize(s):
+        pos = jax.lax.broadcasted_iota(jnp.int64, s.shape, 1)
+        rest = jnp.max(jnp.where(pos == bits, 0.0, jnp.abs(s)))
+        return s[0, bits], s[1, bits], rest
+
+    ar, ai, rest = (float(v) for v in jax.jit(summarize)(y))
+    return max(abs(complex(ar, ai) - 1.0), rest)
