@@ -361,7 +361,7 @@ def _bench_h_throughput(n: int = 20) -> float | None:
 # minutes each) and empty .oracle_cache (the 26q complex128 oracle costs
 # ~2-3 min of single-core NumPy). "warm" = both caches populated.
 _COLD_EST = {16: 240, 20: 300, 22: 420, 24: 480, 26: 700, 27: 700,
-             28: 1100, 29: 800, 30: 1000, "h20": 150}
+             28: 1600, 29: 800, 30: 1000, "h20": 150}
 _WARM_EST = {16: 90, 20: 45, 22: 45, 24: 60, 26: 120, 27: 90,
              28: 220, 29: 150, 30: 240, "h20": 90}
 # Headline certification first (16/20 = flagship wins, 26 = the scaling

@@ -209,3 +209,75 @@ class TestValidationAndScale:
         assert CLIFFORD_GATES == {
             "i", "x", "y", "z", "h", "s", "sdg", "cnot", "cz", "swap"
         }
+
+
+class TestCliffordCircuit:
+    """Wide-register circuit representation accepted by run()."""
+
+    def test_wide_ghz_via_run(self):
+        from tpu_qsim.stabilizer import CliffordCircuit
+
+        n = 300
+        stab = StabilizerSimulator(n, seed=3).run(CliffordCircuit.ghz(n))
+        assert stab.expectation_pauli("Z" * n) == 1.0
+        assert stab.expectation_pauli("X" * n) == 1.0
+
+    def test_builder_matches_circuit_semantics(self):
+        """The same Clifford program through Circuit and CliffordCircuit
+        lands on the same stabilizer state (all Pauli expectations agree)."""
+        from tpu_qsim.stabilizer import CliffordCircuit
+
+        c = q.Circuit(4).h(0).cnot(0, 1).s(2).cz(1, 2).swap(2, 3).x(3).sdg(1)
+        a = StabilizerSimulator(4, seed=0).run(c)
+        b = StabilizerSimulator(4, seed=0).run(CliffordCircuit.from_circuit(c))
+        for p in ("ZIII", "XXII", "ZZZZ", "IYIZ", "XIXI"):
+            assert a.expectation_pauli(p) == b.expectation_pauli(p)
+
+    def test_inverse_round_trip(self):
+        from tpu_qsim.stabilizer import CliffordCircuit
+
+        rng = __import__("numpy").random.default_rng(5)
+        n = 64
+        cc = CliffordCircuit(n)
+        for _ in range(200):
+            g = ["h", "s", "sdg", "x", "y", "z", "cnot", "cz", "swap"][
+                int(rng.integers(0, 9))
+            ]
+            if g in ("cnot", "cz", "swap"):
+                a_, b_ = (int(v) for v in rng.choice(n, size=2, replace=False))
+                cc.add(g, a_, b_)
+            else:
+                cc.add(g, int(rng.integers(0, n)))
+        stab = StabilizerSimulator(n, seed=1).run(cc).run(cc.inverse())
+        for qb in (0, 17, 63):
+            assert stab.qubit_probability(qb) == 0.0
+
+    def test_validation(self):
+        from tpu_qsim.stabilizer import CliffordCircuit
+
+        import pytest
+
+        cc = CliffordCircuit(3)
+        with pytest.raises(ValueError, match="not Clifford"):
+            cc.add("t", 0)
+        with pytest.raises(ValueError, match="takes 2"):
+            cc.add("cnot", 0)
+        with pytest.raises(ValueError, match="out of range"):
+            cc.add("h", 3)
+        with pytest.raises(ValueError, match="distinct"):
+            cc.add("swap", 1, 1)
+        with pytest.raises(ValueError, match="qubits, simulator"):
+            StabilizerSimulator(4).run(CliffordCircuit.ghz(3))
+
+    def test_from_circuit_rejects_non_clifford(self):
+        from tpu_qsim.stabilizer import CliffordCircuit
+
+        import pytest
+
+        with pytest.raises(ValueError, match="rz.*not Clifford"):
+            CliffordCircuit.from_circuit(q.Circuit(2).h(0).rz(1, 0.3))
+
+    def test_top_level_export(self):
+        import tpu_qsim
+
+        assert tpu_qsim.CliffordCircuit.ghz(40).num_gates == 40

@@ -96,7 +96,7 @@ def __getattr__(name: str):
         from . import qasm
 
         return getattr(qasm, name)
-    if name in ("StabilizerSimulator",):
+    if name in ("StabilizerSimulator", "CliffordCircuit"):
         from . import stabilizer
 
         return getattr(stabilizer, name)

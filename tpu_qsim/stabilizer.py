@@ -17,11 +17,12 @@ for — while the API mirrors the simulator families (``run`` / ``sample`` /
 (GHZ/graph-state prep, syndrome extraction, shadow snapshots) slot into the
 same harnesses.
 
-Width note: ``run()`` consumes a :class:`~tpu_qsim.Circuit`, which is capped
-at ``MAX_QUBITS=30`` (the cap protects the amplitude engines; the IR shares
-it). Registers wider than 30 qubits are driven through ``apply_gate``
-directly — see the 500-qubit GHZ test (tests/test_stabilizer.py) for the
-pattern.
+Width note: :class:`~tpu_qsim.Circuit` is capped at ``MAX_QUBITS=30`` (the
+cap protects the amplitude engines; the IR shares it). For wider registers
+``run()`` also accepts a :class:`CliffordCircuit` — a host-side Clifford-only
+program representation capped at ``MAX_STABILIZER_QUBITS`` — so 1000-qubit
+GHZ prep is one ``run(CliffordCircuit.ghz(1000))`` call, QASM-free harnesses
+included. ``apply_gate`` remains available for imperative driving.
 
 Supported gates: i x y z h s sdg cnot cz swap (the Clifford subset of
 :mod:`tpu_qsim.gates`). Non-Clifford gates raise ``ValueError`` naming the
@@ -34,11 +35,13 @@ import numpy as np
 
 from .circuit import Circuit
 
-__all__ = ["StabilizerSimulator", "CLIFFORD_GATES"]
+__all__ = ["StabilizerSimulator", "CliffordCircuit", "CLIFFORD_GATES"]
 
 CLIFFORD_GATES = frozenset(
     {"i", "x", "y", "z", "h", "s", "sdg", "cnot", "cz", "swap"}
 )
+_CLIFFORD_ARITY = {g: (2 if g in ("cnot", "cz", "swap") else 1)
+                   for g in CLIFFORD_GATES}
 
 
 def _g_sum(x1, z1, x2, z2) -> int:
@@ -56,6 +59,130 @@ def _g_sum(x1, z1, x2, z2) -> int:
 # Upper bound only to keep tableaux (2n x 2n bits) and per-shot sampling
 # costs sane; far beyond any amplitude-based engine's reach.
 MAX_STABILIZER_QUBITS = 4096
+
+
+class _CGate:
+    """One Clifford op: duck-types circuit.Gate for StabilizerSimulator.run."""
+
+    __slots__ = ("name", "qubits", "param")
+
+    def __init__(self, name: str, qubits: tuple[int, ...]):
+        self.name = name
+        self.qubits = qubits
+        self.param = None
+
+    def __repr__(self) -> str:
+        return f"{self.name}{self.qubits}"
+
+
+class CliffordCircuit:
+    """Host-side Clifford-only circuit for registers wider than 30 qubits.
+
+    :class:`~tpu_qsim.circuit.Circuit` is capped at ``MAX_QUBITS=30`` to
+    protect the 2^n amplitude engines; Clifford workloads have no such
+    physics limit, so this representation carries the same fluent-builder
+    surface for the Clifford gate set up to ``MAX_STABILIZER_QUBITS``
+    qubits and is accepted by :meth:`StabilizerSimulator.run`. Gates are
+    validated on insertion (Clifford name, arity, range, distinct qubits)
+    so errors carry the offending op, not a mid-run tableau state.
+    """
+
+    def __init__(self, num_qubits: int):
+        if not (1 <= num_qubits <= MAX_STABILIZER_QUBITS):
+            raise ValueError(
+                f"CliffordCircuit supports 1..{MAX_STABILIZER_QUBITS} "
+                f"qubits, got {num_qubits}"
+            )
+        self.num_qubits = int(num_qubits)
+        self._gates: list[_CGate] = []
+
+    # -- construction --------------------------------------------------------
+
+    def add(self, name: str, *qubits: int) -> "CliffordCircuit":
+        if name not in CLIFFORD_GATES:
+            raise ValueError(
+                f"gate {name!r} is not Clifford; supported: "
+                f"{sorted(CLIFFORD_GATES)}"
+            )
+        if len(qubits) != _CLIFFORD_ARITY[name]:
+            raise ValueError(
+                f"gate {name!r} takes {_CLIFFORD_ARITY[name]} qubit(s), "
+                f"got {len(qubits)}"
+            )
+        for q in qubits:
+            if not (0 <= q < self.num_qubits):
+                raise ValueError(
+                    f"qubit index {q} out of range for "
+                    f"{self.num_qubits}-qubit circuit"
+                )
+        if len(set(qubits)) != len(qubits):
+            raise ValueError(f"gate {name!r} qubits must be distinct: {qubits}")
+        self._gates.append(_CGate(name, tuple(int(q) for q in qubits)))
+        return self
+
+    def i(self, q: int) -> "CliffordCircuit": return self.add("i", q)
+    def x(self, q: int) -> "CliffordCircuit": return self.add("x", q)
+    def y(self, q: int) -> "CliffordCircuit": return self.add("y", q)
+    def z(self, q: int) -> "CliffordCircuit": return self.add("z", q)
+    def h(self, q: int) -> "CliffordCircuit": return self.add("h", q)
+    def s(self, q: int) -> "CliffordCircuit": return self.add("s", q)
+    def sdg(self, q: int) -> "CliffordCircuit": return self.add("sdg", q)
+    def cnot(self, c: int, t: int) -> "CliffordCircuit": return self.add("cnot", c, t)
+    cx = cnot
+    def cz(self, c: int, t: int) -> "CliffordCircuit": return self.add("cz", c, t)
+    def swap(self, a: int, b: int) -> "CliffordCircuit": return self.add("swap", a, b)
+
+    # -- views ----------------------------------------------------------------
+
+    @property
+    def gates(self) -> list[_CGate]:
+        return list(self._gates)
+
+    @property
+    def num_gates(self) -> int:
+        return len(self._gates)
+
+    def __len__(self) -> int:
+        return len(self._gates)
+
+    def __iter__(self):
+        return iter(self._gates)
+
+    def inverse(self) -> "CliffordCircuit":
+        """Adjoint program: reversed order; s <-> sdg, the rest are
+        self-inverse Cliffords."""
+        inv = CliffordCircuit(self.num_qubits)
+        flip = {"s": "sdg", "sdg": "s"}
+        for g in reversed(self._gates):
+            inv.add(flip.get(g.name, g.name), *g.qubits)
+        return inv
+
+    # -- interop / factories ---------------------------------------------------
+
+    @classmethod
+    def from_circuit(cls, circuit: Circuit) -> "CliffordCircuit":
+        """Lift a (<= 30q) :class:`Circuit` whose gates are all Clifford;
+        raises ValueError naming the first non-Clifford gate."""
+        c = cls(circuit.num_qubits)
+        for g in circuit.gates:
+            name = "cnot" if g.name == "cx" else g.name
+            if name not in CLIFFORD_GATES:
+                raise ValueError(
+                    f"gate {g.name!r} is not Clifford; cannot lift to "
+                    "CliffordCircuit"
+                )
+            c.add(name, *g.qubits)
+        return c
+
+    @classmethod
+    def ghz(cls, num_qubits: int) -> "CliffordCircuit":
+        """H + CNOT chain: the wide-register GHZ factory
+        (mirrors tpu_qsim.ghz_circuit beyond the 30-qubit cap)."""
+        c = cls(num_qubits)
+        c.h(0)
+        for q in range(1, num_qubits):
+            c.cnot(q - 1, q)
+        return c
 
 
 class StabilizerSimulator:
@@ -167,7 +294,11 @@ class StabilizerSimulator:
         else:  # pragma: no cover — CLIFFORD_GATES is exhaustive above
             raise AssertionError(name)
 
-    def run(self, circuit: Circuit) -> "StabilizerSimulator":
+    def run(
+        self, circuit: "Circuit | CliffordCircuit"
+    ) -> "StabilizerSimulator":
+        """Execute a :class:`~tpu_qsim.Circuit` (<= 30 qubits) or a
+        :class:`CliffordCircuit` (wide registers) on the tableau."""
         if circuit.num_qubits != self.num_qubits:
             raise ValueError(
                 f"circuit has {circuit.num_qubits} qubits, simulator has "
