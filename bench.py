@@ -458,7 +458,6 @@ def main() -> int:
     float(jnp.sum(jnp.ones((8,), jnp.float32)))
     budget.extra["device"] = str(jax.devices()[0])
 
-    first = True
     for n in _PRIORITY:
         est = budget.est(n)
         if budget.remaining() < est * 1.15:
@@ -476,11 +475,11 @@ def main() -> int:
             budget.rows[str(n)] = {"error": str(e)[:200]}
         row_s = time.perf_counter() - t_row
         budget.rows[str(n)]["row_s"] = round(row_s, 1)
-        if first:
-            # cold/warm detection: a warm 16q row is seconds; a cold one
-            # recompiles the pallas tier and takes minutes
-            budget.cold = row_s > 2.0 * _WARM_EST[16]
-            first = False
+        # per-row cold/warm detection: the cache can be MIXED (a prior
+        # partial warm run populated some sizes), so re-classify after
+        # every row rather than once — a row blowing past 2x its warm
+        # estimate flips future gating to cold estimates, and vice versa
+        budget.cold = row_s > 2.0 * _WARM_EST[n]
         print(
             f"# row {n}q done in {row_s:.0f}s "
             f"(remaining {budget.remaining():.0f}s)",
