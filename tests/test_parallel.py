@@ -68,6 +68,40 @@ class TestShardedStateVector:
         for q in range(1, 10):
             assert sim.measure_qubit(q) == m  # GHZ correlation
 
+    def test_auto_engine_small_state_uses_gspmd(self):
+        sim = ShardedStateVectorSimulator(10, config=CFG)
+        assert sim.engine == "gspmd"
+
+    def test_auto_engine_large_state_avoids_gspmd_replication(self, monkeypatch):
+        # PERF_NOTES §15: the GSPMD partitioned program all-gathers the
+        # full state to every device — above the replication limit "auto"
+        # must resolve to an engine whose per-device footprint is 1/D.
+        import tpu_qsim.parallel as par
+
+        monkeypatch.setattr(par, "GSPMD_REPLICATION_LIMIT_BYTES", 1 << 10)
+        # n=16: enough local bits (SWAP_MIN + 2*g_bits = 13) for the
+        # collective engine's block-swap relabeling over the 8-device mesh
+        n = 16
+        sim = ShardedStateVectorSimulator(n, config=CFG)
+        assert sim.engine == "collective"
+        c = random_circuit(n, 40, seed=3)
+        sim.run(c)
+        ora = CPUReferenceSimulator(n)
+        ora.run(c)
+        np.testing.assert_allclose(sim.get_state(), ora.get_state(), atol=1e-11)
+
+    def test_explicit_gspmd_above_limit_raises(self, monkeypatch):
+        import tpu_qsim.parallel as par
+
+        monkeypatch.setattr(par, "GSPMD_REPLICATION_LIMIT_BYTES", 1 << 10)
+        with pytest.raises(ValueError, match="replicates the FULL"):
+            ShardedStateVectorSimulator(10, config=CFG, engine="gspmd")
+        # the escape hatch accepts the measured footprint explicitly
+        sim = ShardedStateVectorSimulator(
+            10, config=CFG, engine="gspmd", allow_replication=True
+        )
+        assert sim.engine == "gspmd"
+
     def test_indivisible_raises(self):
         with pytest.raises(ValueError, match="not divisible"):
             ShardedStateVectorSimulator(2, config=CFG)  # 4 amps, 8 shards

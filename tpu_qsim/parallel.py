@@ -53,6 +53,17 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
+# Measured on the 8-virtual-device mesh (docs/PERF_NOTES.md §15): the GSPMD
+# engine's partitioned program ALL-GATHERS the full state to every device
+# and runs gates replicated — correct, but its per-device footprint is the
+# FULL state, which defeats the purpose of sharding exactly in the regime
+# (27q+, > 1 GiB of planes) where sharding exists. Above this limit the
+# "auto" default resolves to the explicit-collective engine (true 1/D
+# per-device footprint), and an EXPLICIT engine="gspmd" request raises
+# unless ``allow_replication=True``.
+GSPMD_REPLICATION_LIMIT_BYTES = 1 << 30
+
+
 class ShardedStateVectorSimulator(StateVectorSimulator):
     """State-vector simulator with the amplitude axis sharded over a mesh.
 
@@ -68,20 +79,47 @@ class ShardedStateVectorSimulator(StateVectorSimulator):
         axis: str = "tp",
         config: SimConfig = DEFAULT_CONFIG,
         *,
-        engine: str = "gspmd",
+        engine: str = "auto",
         seed: int = 0,
         grid_params=None,
+        allow_replication: bool = False,
     ):
-        """``engine``: "gspmd" lets XLA insert collectives from sharding
-        annotations; "collective" uses the explicit shard_map + all_to_all
-        schedule (:mod:`tpu_qsim.shardmap_engine`); "sweeps" is the same
-        schedule with each segment's device-local gates compiled through
-        the single-chip kernel tier (whole-block VMEM kernel or the
-        grid-sweep engine for shards beyond VMEM) — the sweep x sharding
-        composition. ``grid_params`` shrinks the sweep geometry for
-        tests/dryruns."""
-        if engine not in ("gspmd", "collective", "sweeps"):
+        """``engine``: "auto" (default) picks "gspmd" for states small
+        enough that its measured full-state replication (PERF_NOTES §15) is
+        harmless and "collective" beyond ``GSPMD_REPLICATION_LIMIT_BYTES``;
+        "gspmd" lets XLA insert collectives from sharding annotations
+        (hard-guarded above the limit — pass ``allow_replication=True`` to
+        accept the full-state-per-device footprint); "collective" uses the
+        explicit shard_map + all_to_all schedule
+        (:mod:`tpu_qsim.shardmap_engine`); "sweeps" is the same schedule
+        with each segment's device-local gates compiled through the
+        single-chip kernel tier (whole-block VMEM kernel or the grid-sweep
+        engine for shards beyond VMEM) — the sweep x sharding composition.
+        ``grid_params`` shrinks the sweep geometry for tests/dryruns."""
+        if engine not in ("auto", "gspmd", "collective", "sweeps"):
             raise ValueError(f"unknown engine {engine!r}")
+        planes_bytes = (1 << num_qubits) * np.dtype(config.dtype).itemsize
+        if engine == "auto":
+            engine = (
+                "gspmd"
+                if planes_bytes <= GSPMD_REPLICATION_LIMIT_BYTES
+                else "collective"
+            )
+        elif (
+            engine == "gspmd"
+            and planes_bytes > GSPMD_REPLICATION_LIMIT_BYTES
+            and not allow_replication
+        ):
+            raise ValueError(
+                f"engine='gspmd' at {num_qubits} qubits: the GSPMD "
+                f"partitioned program replicates the FULL "
+                f"{planes_bytes / 2**30:.1f} GiB state onto every device "
+                "(measured: it all-gathers instead of exchanging, "
+                "docs/PERF_NOTES.md §15), so per-device memory does NOT "
+                "shrink with the mesh. Use engine='collective' or "
+                "engine='sweeps' (true 1/D per-device footprint), or pass "
+                "allow_replication=True to accept the footprint."
+            )
         self.engine = engine
         self.grid_params = grid_params
         self.mesh = mesh if mesh is not None else make_mesh((axis,))

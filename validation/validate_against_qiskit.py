@@ -10,7 +10,10 @@ global phase through its gate definitions exactly as we do, so the aligned
 phase should be ~1; we still align to be robust).
 
 Run: python validation/validate_against_qiskit.py
-Exit 0 = all match (or qiskit missing -> falls back to analytic tables).
+Exit 0 = all match. Without qiskit installed, the comparison runs against
+the vendored amplitude-fixture pack (validation/fixtures/
+qiskit_fixtures.npz — see generate_qiskit_fixtures.py for provenance) AND
+the analytic convention tables; both must pass.
 """
 
 from __future__ import annotations
@@ -77,14 +80,47 @@ def aligned_max_diff(a: np.ndarray, b: np.ndarray) -> float:
     return max_amplitude_error(a, b, up_to_phase=True)
 
 
+def run_fixture_pack(tol: float = 1e-9) -> int:
+    """Compare OUR amplitudes against the vendored fixture pack (all 67
+    corpus cases). Qiskit shares our little-endian basis ordering, so
+    amplitudes compare index-for-index with no bit reversal."""
+    from generate_qiskit_fixtures import FIXTURE_PATH
+    from generate_cirq_fixtures import corpus
+
+    import tpu_qsim as q
+
+    pack = np.load(FIXTURE_PATH)
+    print(f"fixture pack: {pack['__provenance__']}")
+    failures = 0
+    worst = 0.0
+    total = 0
+    for name, n, gates in corpus():
+        total += 1
+        c = q.Circuit(n)
+        for gname, qubits, param in gates:
+            c.add(gname, *qubits, param=param)
+        diff = aligned_max_diff(our_state(c), pack[name])
+        worst = max(worst, diff)
+        if diff >= tol:
+            failures += 1
+            print(f"FAIL  {name:16s} max|diff|={diff:.2e}")
+    print(
+        f"{total - failures}/{total} qiskit fixture cases passed "
+        f"(worst max|diff| = {worst:.2e})"
+    )
+    return 1 if failures else 0
+
+
 def run(tol: float = 1e-9) -> int:
     try:
         import qiskit  # noqa: F401
     except ImportError:
-        print("qiskit not installed - running analytic convention tables instead")
+        print("qiskit not installed - comparing against the vendored "
+              "fixture pack + analytic convention tables")
+        rc = run_fixture_pack(tol)
         from validate_conventions import run as run_conv
 
-        return run_conv()
+        return rc or run_conv()
 
     import tpu_qsim as q
 
