@@ -55,6 +55,20 @@ class TestBenchmarkScripts:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "all classes planned" in r.stdout
 
+    def test_floor_plan_only(self):
+        # device-free half of the §20 floor certificate: the emitted-program
+        # vector-op census (analytic VPU floor per blend) and the
+        # lane-placement upper bound must keep reproducing — the on-chip
+        # §20.3 numbers are interpreted against exactly these figures
+        r = run_script(
+            ["benchmarks/benchmark_floor.py", "--plan-only"], timeout=600
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "analytic 26q VPU floor" in r.stdout
+        # the lever-(b) verdict is part of the certificate: all three sizes
+        # must still price as net losses at their optimistic upper bound
+        assert r.stdout.count("NET LOSS") == 3, r.stdout[-1500:]
+
     def test_algorithms_benchmark(self):
         r = run_script(
             ["benchmarks/benchmark_algorithms.py", "--qubits", "10",
